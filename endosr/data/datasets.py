@@ -1,0 +1,352 @@
+"""Dataset classes — capability twins of ``codes/data/*_dataset.py``.
+
+All datasets return NHWC-convention numpy dicts:
+  'LQ'  HWC RGB float32 [0,1]     'GT'  HWC RGB float32 [0,1]
+  'Depth' HW1 float32             'DepthMaskList' HWK float32
+plus path strings. Depth maps follow the monodepth2 producer convention:
+``<stem>_disp.npy`` of shape [1,1,H,W] (``LQGTker_Depth_dataset.py:151-154``).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+from endosr.data import util
+from endosr.ops.color import channel_convert, modcrop
+from endosr.ops.masks import depth_masks_np
+from endosr.ops.resize import imresize_np
+
+__all__ = [
+    "LQGTKerDepthDataset",
+    "EndoSceneDepthDataset",
+    "EndoSceneDepthnewDataset",
+    "LQGTKerDataset",
+    "LQDataset",
+    "LQKerDataset",
+    "SRKerDataset",
+]
+
+
+class _Base:
+    def __init__(self, opt):
+        self.opt = opt
+        self.rng = random.Random()
+
+    def __len__(self):
+        return len(self.GT_paths)
+
+    def _is_train(self):
+        return self.opt["phase"] == "train"
+
+
+class LQGTKerDepthDataset(_Base):
+    """Flagship: LR + GT pairs + depth map + K binary depth masks.
+
+    Twin of ``LQGTKerDepthDataset`` (``LQGTker_Depth_dataset.py:19-226``)
+    including the offline-augmentation double set (``*_DA.jpg``) and
+    on-the-fly MATLAB-bicubic LR generation when no LR root is given.
+    """
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.LR_paths = util.get_image_paths(opt["data_type"], opt.get("dataroot_LQ"))
+        self.GT_paths = util.get_image_paths(opt["data_type"], opt.get("dataroot_GT"))
+        if opt["data_type"] == "lmdb":
+            raise NotImplementedError("lmdb archives need the optional lmdb package")
+
+        if self._is_train() and opt.get("data_num"):
+            if self.LR_paths:
+                self.LR_paths = self.LR_paths[: opt["data_num"]]
+            self.GT_paths = self.GT_paths[: opt["data_num"]]
+
+        origin_LR_paths = list(self.LR_paths or [])
+        if self._is_train() and opt.get("data_augment"):
+            aug_paths = []
+            for imagepath in self.LR_paths:
+                imgname = os.path.basename(imagepath).split(".")[0] + "_DA.jpg"
+                aug_paths.append(os.path.join(opt["dataroot_LQ_Aug"], imgname))
+            self.LR_paths = self.LR_paths + aug_paths
+            self.GT_paths = self.GT_paths + self.GT_paths
+
+        # depth maps by filename convention <stem>_disp.npy
+        base = origin_LR_paths if (self._is_train() and opt.get("data_augment")) else (
+            self.LR_paths or self.GT_paths
+        )
+        self.Depth_paths = [
+            os.path.join(opt["dataroot_depthMap"],
+                         os.path.basename(p).split(".")[0] + "_disp.npy")
+            for p in base
+        ]
+        if self._is_train() and opt.get("data_augment"):
+            self.Depth_paths = self.Depth_paths + self.Depth_paths
+
+        assert self.GT_paths, "Error: GT paths are empty."
+        if self.LR_paths:
+            assert len(self.LR_paths) == len(self.GT_paths) == len(self.Depth_paths), (
+                f"GT, LR and Depth datasets have different number of images - "
+                f"{len(self.LR_paths)}, {len(self.GT_paths)}, {len(self.Depth_paths)}."
+            )
+
+    def __getitem__(self, index):
+        opt = self.opt
+        scale = opt["scale"]
+
+        GT_path = self.GT_paths[index]
+        img_GT = util.read_img(None, GT_path)
+        if not self._is_train():
+            img_GT = modcrop(img_GT, scale)
+
+        if self.LR_paths:
+            LR_path = self.LR_paths[index]
+            img_LR = util.read_img(None, LR_path)
+        else:
+            LR_path = GT_path
+            img_LR = imresize_np(img_GT, 1 / scale, True)
+            if img_LR.ndim == 2:
+                img_LR = np.expand_dims(img_LR, axis=2)
+
+        depth_map = np.load(self.Depth_paths[index])
+        depth_map = np.squeeze(depth_map, axis=1)[0]  # [1,1,H,W] → HW
+        mask_list = depth_masks_np(
+            depth_map, opt.get("depthFixedRange", True), opt.get("depthMaskNum", 10)
+        )  # HWK
+        depth_map = depth_map[..., None].astype(np.float32)  # HW1
+
+        if self._is_train():
+            assert opt["LR_size"] == opt["GT_size"] // scale, \
+                "GT size does not match LR size"
+            img_LR, img_GT, depth_map, mask_list = util.augment(
+                [img_LR, img_GT, depth_map, mask_list],
+                opt.get("use_flip", False), opt.get("use_rot", False), self.rng,
+            )
+
+        if opt.get("color"):
+            img_LR = channel_convert(img_LR.shape[2], opt["color"], [img_LR])[0]
+            img_GT = channel_convert(img_GT.shape[2], opt["color"], [img_GT])[0]
+
+        # BGR → RGB
+        if img_GT.shape[2] == 3:
+            img_GT = img_GT[:, :, ::-1]
+            img_LR = img_LR[:, :, ::-1]
+
+        return {
+            "LQ": np.ascontiguousarray(img_LR, np.float32),
+            "GT": np.ascontiguousarray(img_GT, np.float32),
+            "Depth": np.ascontiguousarray(depth_map, np.float32),
+            "DepthMaskList": np.ascontiguousarray(mask_list, np.float32),
+            "LQ_path": LR_path,
+            "GT_path": GT_path,
+        }
+
+
+class EndoSceneDepthDataset(_Base):
+    """EndoScene split-file dataset with optional segmentation labels.
+
+    Twin of ``EndoSceneDepthDataset`` (``EndoScene_depth_dataset.py:20-239``):
+    path list from ``dataset_split_list`` txt, per-scale subdirs ``x<scale>``,
+    one-hot segmentation label support for seg co-training. Also fixes the
+    reference's factory bug that never instantiated this class
+    (SURVEY.md §2.9-1).
+    """
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        scale = opt["scale"]
+        split_list = opt.get("dataset_split_list")
+        if split_list:
+            with open(split_list) as f:
+                names = [line.strip() for line in f if line.strip()]
+        else:
+            names = [os.path.basename(p)
+                     for p in util.get_image_paths("img", opt["dataroot_GT"])]
+        self.names = names
+        self.GT_paths = [os.path.join(opt["dataroot_GT"], n) for n in names]
+        lq_root = opt.get("dataroot_LQ")
+        self.LR_paths = (
+            [os.path.join(lq_root, f"x{scale}", n) for n in names] if lq_root else None
+        )
+        if self.LR_paths and not os.path.exists(self.LR_paths[0]):
+            self.LR_paths = [os.path.join(lq_root, n) for n in names]
+        self.Depth_paths = [
+            os.path.join(opt["dataroot_depthMap"], n.split(".")[0] + "_disp.npy")
+            for n in names
+        ]
+        self.Seg_paths = None
+        if opt.get("dataroot_seglabel"):
+            self.Seg_paths = [
+                os.path.join(opt["dataroot_seglabel"], n) for n in names
+            ]
+
+    def __getitem__(self, index):
+        opt = self.opt
+        scale = opt["scale"]
+        img_GT = util.read_img(None, self.GT_paths[index])
+        if not self._is_train():
+            img_GT = modcrop(img_GT, scale)
+        if self.LR_paths:
+            img_LR = util.read_img(None, self.LR_paths[index])
+        else:
+            img_LR = imresize_np(img_GT, 1 / scale, True)
+
+        depth_map = np.load(self.Depth_paths[index])
+        depth_map = np.squeeze(depth_map, axis=1)[0]
+        mask_list = depth_masks_np(
+            depth_map, opt.get("depthFixedRange", True), opt.get("depthMaskNum", 10)
+        )
+        depth_map = depth_map[..., None].astype(np.float32)
+
+        seg = None
+        if self.Seg_paths is not None:
+            import cv2
+
+            seg_raw = cv2.imread(self.Seg_paths[index], cv2.IMREAD_GRAYSCALE)
+            seg = (seg_raw > 127).astype(np.int64)
+            seg = util.get_one_hot(seg, 2)  # HW2
+
+        arrays = [img_LR, img_GT, depth_map, mask_list] + (
+            [seg] if seg is not None else []
+        )
+        if self._is_train():
+            arrays = util.augment(arrays, opt.get("use_flip", False),
+                                  opt.get("use_rot", False), self.rng)
+        img_LR, img_GT, depth_map, mask_list = arrays[:4]
+        if seg is not None:
+            seg = arrays[4]
+
+        if img_GT.shape[2] == 3:
+            img_GT = img_GT[:, :, ::-1]
+            img_LR = img_LR[:, :, ::-1]
+
+        out = {
+            "LQ": np.ascontiguousarray(img_LR, np.float32),
+            "GT": np.ascontiguousarray(img_GT, np.float32),
+            "Depth": np.ascontiguousarray(depth_map, np.float32),
+            "DepthMaskList": np.ascontiguousarray(mask_list, np.float32),
+            "LQ_path": self.LR_paths[index] if self.LR_paths else self.GT_paths[index],
+            "GT_path": self.GT_paths[index],
+        }
+        if seg is not None:
+            out["SegLabel"] = np.ascontiguousarray(seg, np.float32)
+        return out
+
+
+class EndoSceneDepthnewDataset(EndoSceneDepthDataset):
+    """Variant with ``.tif → .png`` name mapping and x2-depth rescaling
+    (``EndoScene_depthnew_dataset.py:20-249``)."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.Depth_paths = [
+            os.path.join(
+                opt["dataroot_depthMap"],
+                n.split(".")[0] + "_disp.npy",
+            )
+            for n in self.names
+        ]
+
+    def __getitem__(self, index):
+        import cv2
+
+        item = super().__getitem__(index)
+        # depth comes from the x2 producer; resize to LR resolution if needed
+        lr_h, lr_w = item["LQ"].shape[:2]
+        d = item["Depth"][..., 0]
+        if d.shape != (lr_h, lr_w):
+            d = cv2.resize(d, (lr_w, lr_h), interpolation=cv2.INTER_LINEAR)
+            mask_list = depth_masks_np(
+                d, self.opt.get("depthFixedRange", True),
+                self.opt.get("depthMaskNum", 10),
+            )
+            item["Depth"] = d[..., None].astype(np.float32)
+            item["DepthMaskList"] = mask_list
+        return item
+
+
+class LQGTKerDataset(_Base):
+    """LR + GT pairs, no depth (legacy SFTMD path, ``LQGTker_dataset.py``)."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.LR_paths = util.get_image_paths(opt["data_type"], opt.get("dataroot_LQ"))
+        self.GT_paths = util.get_image_paths(opt["data_type"], opt.get("dataroot_GT"))
+
+    def __getitem__(self, index):
+        opt = self.opt
+        scale = opt["scale"]
+        GT_path = self.GT_paths[index]
+        img_GT = util.read_img(None, GT_path)
+        if not self._is_train():
+            img_GT = modcrop(img_GT, scale)
+        if self.LR_paths:
+            LR_path = self.LR_paths[index]
+            img_LR = util.read_img(None, LR_path)
+        else:
+            LR_path = GT_path
+            img_LR = imresize_np(img_GT, 1 / scale, True)
+        if self._is_train():
+            img_LR, img_GT = util.augment(
+                [img_LR, img_GT], opt.get("use_flip", False),
+                opt.get("use_rot", False), self.rng,
+            )
+        if img_GT.shape[2] == 3:
+            img_GT = img_GT[:, :, ::-1]
+            img_LR = img_LR[:, :, ::-1]
+        return {
+            "LQ": np.ascontiguousarray(img_LR, np.float32),
+            "GT": np.ascontiguousarray(img_GT, np.float32),
+            "LQ_path": LR_path,
+            "GT_path": GT_path,
+        }
+
+
+class LQDataset(_Base):
+    """LR-only (kernel Predictor input, ``LQ_dataset.py:9-80``)."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.LR_paths = util.get_image_paths(opt["data_type"], opt["dataroot_LQ"])
+        self.GT_paths = self.LR_paths
+
+    def __getitem__(self, index):
+        LR_path = self.LR_paths[index]
+        img_LR = util.read_img(None, LR_path)
+        if img_LR.shape[2] == 3:
+            img_LR = img_LR[:, :, ::-1]
+        return {"LQ": np.ascontiguousarray(img_LR, np.float32), "LQ_path": LR_path}
+
+
+class LQKerDataset(LQDataset):
+    """LR + ground-truth kernel-map list (``LQker_dataset.py:9-77``)."""
+
+    def __init__(self, opt, ker_map_list=None):
+        super().__init__(opt)
+        self.ker_map_list = ker_map_list
+
+    def __getitem__(self, index):
+        item = super().__getitem__(index)
+        if self.ker_map_list is not None:
+            item["real_ker"] = np.asarray(self.ker_map_list[index], np.float32)
+        return item
+
+
+class SRKerDataset(_Base):
+    """SR image + estimated kernel map (Corrector input, ``SRker_dataset.py``)."""
+
+    def __init__(self, opt, est_ker_map_list=None):
+        super().__init__(opt)
+        self.SR_paths = util.get_image_paths(opt["data_type"], opt["dataroot_SR"])
+        self.GT_paths = self.SR_paths
+        self.est_ker_map_list = est_ker_map_list
+
+    def __getitem__(self, index):
+        SR_path = self.SR_paths[index]
+        img_SR = util.read_img(None, SR_path)
+        if img_SR.shape[2] == 3:
+            img_SR = img_SR[:, :, ::-1]
+        item = {"SR": np.ascontiguousarray(img_SR, np.float32), "SR_path": SR_path}
+        if self.est_ker_map_list is not None:
+            item["est_ker_map"] = np.asarray(self.est_ker_map_list[index], np.float32)
+        return item

@@ -1,0 +1,108 @@
+"""Host-side data utilities (path listing, image IO, paired augmentation).
+
+Capability twins of ``codes/data/util.py`` for the NHWC pipeline. LMDB is
+optional (gated import — the reference supports it for training archives);
+plain-image mode is the primary path.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+__all__ = [
+    "IMG_EXTENSIONS",
+    "is_image_file",
+    "get_image_paths",
+    "read_img",
+    "augment",
+    "get_one_hot",
+]
+
+IMG_EXTENSIONS = [".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG", ".ppm",
+                  ".PPM", ".bmp", ".BMP", ".tif", ".TIF", ".tiff", ".TIFF"]
+
+
+def is_image_file(filename: str) -> bool:
+    return any(filename.endswith(ext) for ext in IMG_EXTENSIONS)
+
+
+def _get_paths_from_images(path: str) -> list[str]:
+    assert os.path.isdir(path), f"{path} is not a valid directory"
+    images = []
+    for dirpath, _, fnames in sorted(os.walk(path)):
+        for fname in sorted(fnames):
+            if is_image_file(fname):
+                images.append(os.path.join(dirpath, fname))
+    assert images, f"{path} has no valid image file"
+    return images
+
+
+def _get_paths_from_lmdb(dataroot: str):
+    import pickle
+
+    meta = pickle.load(open(os.path.join(dataroot, "meta_info.pkl"), "rb"))
+    return meta["keys"], meta.get("resolution")
+
+
+def get_image_paths(data_type: str, dataroot: str | None):
+    """Path list for 'img' mode, (keys, sizes) for 'lmdb' (``data/util.py:40-56``)."""
+    if dataroot is None:
+        return None
+    if data_type == "lmdb":
+        return _get_paths_from_lmdb(dataroot)
+    if data_type == "img":
+        return sorted(_get_paths_from_images(dataroot))
+    raise NotImplementedError(f"data_type [{data_type}] is not recognized.")
+
+
+def read_img(env, path: str, size=None) -> np.ndarray:
+    """Read an image → float32 HWC BGR in [0, 1] (``data/util.py:71-84``)."""
+    import cv2
+
+    if env is None:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    else:
+        with env.begin(write=False) as txn:
+            buf = txn.get(path.encode("ascii"))
+        img_flat = np.frombuffer(buf, dtype=np.uint8)
+        h, w, c = size
+        img = img_flat.reshape(h, w, c)
+    if img is None:
+        raise FileNotFoundError(f"image not readable: {path}")
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.expand_dims(img, axis=2)
+    if img.shape[2] > 3:  # some images have 4 channels
+        img = img[:, :, :3]
+    return img
+
+
+def augment(imgs: list[np.ndarray], hflip: bool = True, rot: bool = True,
+            rng: random.Random | None = None) -> list[np.ndarray]:
+    """Paired flip/rotate of HWC arrays with shared coin flips
+    (``data/util.py:101-118``)."""
+    r = rng or random
+    do_hflip = hflip and r.random() < 0.5
+    do_vflip = rot and r.random() < 0.5
+    do_rot90 = rot and r.random() < 0.5
+
+    def _augment(img):
+        if do_hflip:
+            img = img[:, ::-1, :]
+        if do_vflip:
+            img = img[::-1, :, :]
+        if do_rot90:
+            img = img.transpose(1, 0, 2)
+        return np.ascontiguousarray(img)
+
+    return [_augment(img) for img in imgs]
+
+
+def get_one_hot(label: np.ndarray, num_classes: int) -> np.ndarray:
+    """Integer labels → one-hot along a trailing axis (``data/util.py:93-99``)."""
+    flat = label.reshape(-1).astype(np.int64)
+    eye = np.eye(num_classes, dtype=np.float32)
+    return eye[flat].reshape(*label.shape, num_classes)

@@ -1,0 +1,310 @@
+"""F_Model_depthCond — the flagship training wrapper (``sftmd_depthCond``).
+
+Twin of ``codes/models/F_model_depthCond.py``: DepthNet generator, L1/L2/CB
+pixel loss plus five gated losses (depth, VGG, SSIM, static mask, dynamic
+depth-mask with trainable softmax weights learned by the same Adam), cosine-
+restart schedule, the two-file checkpoint scheme, and the 8-way
+self-ensemble ``test_x8``.
+
+TPU shape: one jitted SPMD train step over the data mesh — forward, all
+gated losses, grad, Adam — with the batch sharded on its leading axis and
+parameters replicated; XLA inserts the gradient all-reduce (the DDP
+equivalent). The dynamic-loss trainable weights live in the same param
+pytree as the generator, mirroring the reference appending them to
+optimizer_G (``F_model_depthCond.py:94-98``).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from endosr.losses.basic import pixel_loss
+from endosr.losses.mask import dynamic_weight_mask_loss, mask_loss
+from endosr.losses.ssim import ssim_value
+from endosr.models.base import BaseModel, TrainState
+from endosr.nn import networks
+from endosr.parallel.mesh import get_mesh, replicate, shard_batch
+
+logger = logging.getLogger("base")
+
+__all__ = ["FModelDepthCond"]
+
+
+class FModelDepthCond(BaseModel):
+    def __init__(self, opt, mesh=None):
+        super().__init__(opt)
+        self.mesh = mesh or get_mesh()
+        compute_dtype = jnp.bfloat16 if opt.get("precision") == "bf16" else jnp.float32
+        self.netG = networks.define_G(opt, dtype=compute_dtype)
+
+        ds = (opt.get("datasets") or {}).get("train") or (opt.get("datasets") or {}).get(
+            "test"
+        ) or {}
+        self.mask_num = ds.get("depthMaskNum") or 10
+        lr_size = ds.get("LR_size") or 32
+        seed = 0
+        if opt.get("train") and opt["train"].get("manual_seed") is not None:
+            seed = int(opt["train"]["manual_seed"])
+        self._np_rng = np.random.default_rng(seed)
+
+        # init params on a tiny dummy batch (shapes are polymorphic per call)
+        key = jax.random.PRNGKey(seed)
+        dummy = (
+            jnp.zeros((1, lr_size, lr_size, opt["network_G"].get("in_nc", 3)), jnp.float32),
+            jnp.zeros((1, lr_size, lr_size, 1), jnp.float32),
+            jnp.zeros((1, lr_size, lr_size, self.mask_num), jnp.float32),
+        )
+        g_params = self.netG.init(key, *dummy)["params"]
+
+        params = {"netG": g_params}
+
+        if self.is_train:
+            t = opt["train"]
+            self.cri_pix = pixel_loss(t["pixel_criterion"])
+            self.l_pix_w = float(t["pixel_weight"])
+
+            self.use_depth_loss = bool((t.get("depth_loss") or {}).get("use_depth_criterion"))
+            self.use_vgg_loss = bool((t.get("vgg_loss") or {}).get("use_vgg_criterion"))
+            self.use_ssim_loss = bool((t.get("ssim_loss") or {}).get("use_ssim_criterion"))
+            self.use_mask_loss = bool((t.get("mask_loss") or {}).get("use_mask_criterion"))
+            self.use_dynamic_loss = bool(
+                (t.get("dynamic_loss") or {}).get("use_dynamic_criterion")
+            )
+            self.l_ssim_w = float((t.get("ssim_loss") or {}).get("ssim_weight") or 1.0)
+            self.mask_criterion = (t.get("mask_loss") or {}).get("mask_criterion", "smoothl1")
+            self.l_mask_w = float((t.get("mask_loss") or {}).get("mask_weight") or 1.0)
+            self.dyn_criterion = (t.get("dynamic_loss") or {}).get(
+                "dynamic_criterion", "smoothl1"
+            )
+            self.l_dyn_w = float((t.get("dynamic_loss") or {}).get("dynamic_weight") or 1.0)
+
+            if self.use_dynamic_loss:
+                params["dyn"] = {
+                    "trainable_weight": jnp.ones((self.mask_num,), jnp.float32)
+                }
+
+            self.depth_loss_fn = None
+            if self.use_depth_loss:
+                from endosr.losses.depth import DepthEstimatorLoss
+
+                self.depth_loss_fn = DepthEstimatorLoss(t["depth_loss"])
+            self.vgg_loss_fn = None
+            if self.use_vgg_loss:
+                from endosr.losses.perceptual import VGGDepthLoss
+
+                self.vgg_loss_fn = VGGDepthLoss(t["vgg_loss"])
+
+            wd = float(t.get("weight_decay_G") or 0)
+            chain = []
+            if wd:
+                chain.append(optax.add_decayed_weights(wd))
+            chain.append(
+                optax.scale_by_adam(
+                    b1=float(t.get("beta1", 0.9)), b2=float(t.get("beta2", 0.999))
+                )
+            )
+            chain.append(optax.scale_by_learning_rate(self.schedule))
+            self.tx = optax.chain(*chain)
+            opt_state = self.tx.init(params)
+        else:
+            self.tx = None
+            opt_state = ()
+
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32), params=params, opt_state=opt_state
+        )
+        self.load()
+        self.state = self.state.replace(params=replicate(self.state.params, self.mesh))
+        if self.is_train:
+            self.state = self.state.replace(
+                opt_state=replicate(self.state.opt_state, self.mesh)
+            )
+
+        self._train_step = self._build_train_step() if self.is_train else None
+        self._apply_jit = jax.jit(
+            lambda params, lq, d, m: self.netG.apply({"params": params}, lq, d, m)
+        )
+        self.log_dict = {}
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        netG = self.netG
+
+        def loss_fn(params, batch):
+            fake_h = netG.apply(
+                {"params": params["netG"]},
+                batch["LQ"], batch["Depth"], batch["DepthMaskList"],
+            )
+            gt = batch["GT"]
+            logs = {}
+            l_pix = self.l_pix_w * self.cri_pix(fake_h, gt)
+            total = l_pix
+            logs["l_pix"] = l_pix
+
+            if self.use_depth_loss:
+                l_depth, l_depth_list, _, _ = self.depth_loss_fn(fake_h, gt)
+                total = total + l_depth
+                logs["l_depth"] = l_depth
+                for i, l in enumerate(l_depth_list):
+                    logs[f"l_depth_{i}"] = l
+            if self.use_vgg_loss:
+                l_vgg, l_vgg_list = self.vgg_loss_fn(fake_h, gt)
+                total = total + l_vgg
+                logs["l_vgg"] = l_vgg
+                for i, l in enumerate(l_vgg_list):
+                    logs[f"l_vgg_{i}"] = l
+            if self.use_ssim_loss:
+                # reference adds w·SSIM directly (``F_model_depthCond.py:178-180``)
+                l_ssim = self.l_ssim_w * ssim_value(fake_h, gt)
+                total = total + l_ssim
+                logs["l_ssim"] = l_ssim
+            if self.use_mask_loss:
+                l_mask = mask_loss(
+                    fake_h, gt, batch["DepthMaskList"], batch["mask_bin"],
+                    self.mask_criterion, self.l_mask_w,
+                )
+                total = total + l_mask
+                logs["l_mask"] = l_mask
+            if self.use_dynamic_loss:
+                raw, _, l_dyn, w = dynamic_weight_mask_loss(
+                    fake_h, gt, batch["DepthMaskList"],
+                    params["dyn"]["trainable_weight"],
+                    self.dyn_criterion, self.l_dyn_w,
+                )
+                total = total + l_dyn
+                logs["l_dynamic"] = l_dyn
+                logs["dyn_w"] = w
+                logs["dyn_l"] = raw
+
+            logs["l_all"] = total
+            return total, logs
+
+        def train_step(state: TrainState, batch):
+            grads, logs = jax.grad(loss_fn, has_aux=True)(state.params, batch)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+                logs,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # reference contract
+    # ------------------------------------------------------------------
+    def feed_data(self, data):
+        self.batch = {
+            "LQ": np.asarray(data["LQ"], np.float32),
+            "GT": np.asarray(data["GT"], np.float32) if "GT" in data else None,
+            "Depth": np.asarray(data["Depth"], np.float32),
+            "DepthMaskList": np.asarray(data["DepthMaskList"], np.float32),
+        }
+        if self.batch["GT"] is None:
+            del self.batch["GT"]
+
+    def optimize_parameters(self, step=None):
+        batch = dict(self.batch)
+        # host RNG picks the random mask bin (reference ``mask_loss.py:24``)
+        batch["mask_bin"] = np.int32(self._np_rng.integers(0, self.mask_num))
+        batch = shard_batch(batch, self.mesh)
+        self.state, logs = self._train_step(self.state, batch)
+        logs = jax.device_get(logs)
+        self.log_dict = {}
+        for k, v in logs.items():
+            if k == "dyn_w":
+                for i, x in enumerate(np.asarray(v)):
+                    self.log_dict[f"dyn_w_{i}"] = float(x)
+            elif k == "dyn_l":
+                for i, x in enumerate(np.asarray(v)):
+                    self.log_dict[f"dyn_l_{i}"] = float(x)
+            else:
+                self.log_dict[k] = float(v)
+
+    def test(self):
+        b = self.batch
+        self.fake_SR = np.asarray(
+            self._apply_jit(
+                self.state.params["netG"], b["LQ"], b["Depth"], b["DepthMaskList"]
+            )
+        )
+        self.fake_H = self.fake_SR
+
+    def test_x8(self):
+        """8-way flip/transpose self-ensemble (``F_model_depthCond.py:236-270``).
+
+        The reference forgets to transform/pass the depth inputs (it calls
+        ``netG(aug)`` — a latent crash for DepthNet); here the depth map and
+        masks are transformed alongside the image.
+        """
+
+        def tf(x, op):
+            if op == "v":
+                return x[:, :, ::-1, :]
+            if op == "h":
+                return x[:, ::-1, :, :]
+            return x.transpose(0, 2, 1, 3)
+
+        b = self.batch
+        triples = [(b["LQ"], b["Depth"], b["DepthMaskList"])]
+        for op in ("v", "h", "t"):
+            triples.extend(
+                [(tf(l, op), tf(d, op), tf(m, op)) for (l, d, m) in triples]
+            )
+        outs = []
+        for i, (l, d, m) in enumerate(triples):
+            sr = np.asarray(
+                self._apply_jit(
+                    self.state.params["netG"],
+                    np.ascontiguousarray(l),
+                    np.ascontiguousarray(d),
+                    np.ascontiguousarray(m),
+                )
+            )
+            if i > 3:
+                sr = tf(sr, "t")
+            if i % 4 > 1:
+                sr = tf(sr, "h")
+            if (i % 4) % 2 == 1:
+                sr = tf(sr, "v")
+            outs.append(sr)
+        self.fake_H = np.mean(np.stack(outs), axis=0)
+        self.fake_SR = self.fake_H
+
+    def get_current_visuals(self):
+        out = {
+            "LQ": self.batch["LQ"][0],
+            "SR": self.fake_SR[0],
+            "Batch_SR": self.fake_SR,
+            "Depth": self.batch["Depth"][0],
+        }
+        if "GT" in self.batch:
+            out["GT"] = self.batch["GT"][0]
+        return out
+
+    def print_network(self):
+        s, n = self.get_network_description(self.state.params["netG"])
+        if self.rank <= 0:
+            logger.info(
+                "Network G structure: %s, with parameters: %,d"
+                .replace("%,d", f"{n:,d}"), self.netG.__class__.__name__,
+            )
+
+    def load(self):
+        load_path_g = self.opt["path"].get("pretrain_model_G")
+        if load_path_g:
+            logger.info("Loading model for G [%s] ...", load_path_g)
+            strict = self.opt["path"].get("strict_load", True)
+            g = self.load_network(load_path_g, self.state.params["netG"], strict)
+            params = dict(self.state.params)
+            params["netG"] = g
+            self.state = self.state.replace(params=params)
+
+    def save(self, iter_label):
+        self.save_network(self.state.params["netG"], "G", iter_label)

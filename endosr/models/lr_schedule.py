@@ -1,0 +1,126 @@
+"""Learning-rate schedules — closed-form twins of the reference schedulers.
+
+The reference steps torch ``_LRScheduler`` subclasses once per *iteration*
+(``base_model.py:51-63`` called from ``train.py:194``):
+
+* ``CosineAnnealingLR_Restart`` (``lr_scheduler.py:34-62``): per-period
+  cosine annealing with warm restarts and per-restart weights.
+* ``MultiStepLR_Restart`` (``lr_scheduler.py:8-31``) and plain torch
+  ``MultiStepLR``.
+* Linear warmup override for the first ``warmup_iter`` steps
+  (``base_model.py:57-63``).
+
+Here each is a pure function ``step → lr`` (jnp-traceable), usable directly
+as an optax schedule inside a jitted train step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "cosine_annealing_restart",
+    "multistep_restart",
+    "multistep",
+    "with_warmup",
+    "build_schedule",
+]
+
+
+def cosine_annealing_restart(base_lr: float, t_period: Sequence[int],
+                             restarts: Sequence[int] = (),
+                             restart_weights: Sequence[float] = (),
+                             eta_min: float = 0.0):
+    """lr(t) = η_min + (base·w_seg − η_min)·(1 + cos(π·(t−r_seg)/T_seg))/2."""
+    assert len(restarts) == len(restart_weights), \
+        "restarts and their weights do not match."
+    assert len(t_period) == len(restarts) + 1
+    seg_starts = jnp.asarray(np.concatenate([[0], np.asarray(restarts, np.int64)]))
+    seg_weights = jnp.asarray(np.concatenate([[1.0], np.asarray(restart_weights, np.float64)]),
+                              dtype=jnp.float32)
+    seg_periods = jnp.asarray(np.asarray(t_period, np.float64), dtype=jnp.float32)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        idx = jnp.sum(step >= seg_starts.astype(jnp.float32)) - 1
+        idx = jnp.clip(idx, 0, seg_starts.shape[0] - 1)
+        r = seg_starts[idx].astype(jnp.float32)
+        t_max = seg_periods[idx]
+        w = seg_weights[idx]
+        return eta_min + (base_lr * w - eta_min) * (
+            1.0 + jnp.cos(jnp.pi * (step - r) / t_max)
+        ) / 2.0
+
+    return schedule
+
+
+def multistep_restart(base_lr: float, milestones: Sequence[int], gamma: float = 0.1,
+                      restarts: Sequence[int] = (),
+                      restart_weights: Sequence[float] = ()):
+    """lr(t) = base·w_seg·γ^(#milestones in (r_seg, t])."""
+    if restarts:
+        assert len(restarts) == len(restart_weights)
+    seg_starts = jnp.asarray(np.concatenate([[0], np.asarray(restarts or (), np.int64)]))
+    seg_weights = jnp.asarray(
+        np.concatenate([[1.0], np.asarray(restart_weights or (), np.float64)]),
+        dtype=jnp.float32,
+    )
+    ms = jnp.asarray(np.asarray(milestones, np.int64))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.int32)
+        idx = jnp.sum(step >= seg_starts.astype(jnp.int32)) - 1
+        idx = jnp.clip(idx, 0, seg_starts.shape[0] - 1)
+        r = seg_starts[idx].astype(jnp.int32)
+        w = seg_weights[idx]
+        n = jnp.sum((ms.astype(jnp.int32) > r) & (ms.astype(jnp.int32) <= step))
+        return base_lr * w * gamma ** n.astype(jnp.float32)
+
+    return schedule
+
+
+def multistep(base_lr: float, milestones: Sequence[int], gamma: float = 0.1):
+    return multistep_restart(base_lr, milestones, gamma)
+
+
+def with_warmup(schedule, init_lr: float, warmup_iter: int):
+    """Linear warmup override (``base_model.py:57-63``); no-op if ≤ 0."""
+    if warmup_iter is None or warmup_iter <= 0:
+        return schedule
+
+    def s(step):
+        step_f = jnp.asarray(step, jnp.float32)
+        return jnp.where(step_f < warmup_iter,
+                         step_f * init_lr / warmup_iter,
+                         schedule(step))
+
+    return s
+
+
+def build_schedule(train_opt: dict):
+    """Build the lr schedule from a reference-schema ``train:`` config block."""
+    lr = float(train_opt["lr_G"])
+    scheme = train_opt.get("lr_scheme", "MultiStepLR")
+    if scheme == "CosineAnnealingLR_Restart":
+        sched = cosine_annealing_restart(
+            lr,
+            train_opt["T_period"],
+            train_opt.get("restarts") or (),
+            train_opt.get("restart_weights") or (),
+            float(train_opt.get("eta_min", 0) or 0),
+        )
+    elif scheme == "MultiStepLR_Restart":
+        sched = multistep_restart(
+            lr,
+            train_opt.get("lr_steps", ()),
+            float(train_opt.get("lr_gamma", 0.1) or 0.1),
+            train_opt.get("restarts") or (),
+            train_opt.get("restart_weights") or (),
+        )
+    else:  # plain MultiStepLR
+        sched = multistep(lr, train_opt.get("lr_steps", ()) or (),
+                          float(train_opt.get("lr_gamma", 0.1) or 0.1))
+    return with_warmup(sched, lr, int(train_opt.get("warmup_iter") or -1))

@@ -1,0 +1,263 @@
+"""DepthNet — the Dynamic Depth-Aware Network (flagship generator).
+
+TPU-first rebuild of the reference architecture
+(``codes/models/modules/sftmd_arch.py:709-950``):
+
+  Encoder (5 weight-norm convs) → region-wise masked pooling into a
+  per-depth-bin style matrix → conv head → 13 depth-guided residual blocks
+  (SEAN-modulated) → scale-conditional PixelShuffle upsampling interleaved
+  with classic residual blocks → 9×9 output conv → clamp [0,1].
+
+Scale wiring (reference ``sftmd_arch.py:879-908,932-946``):
+  ×8: upscale1 + upscale2 + upscale3(2), trailing blocks at 32 ch
+  ×4: upscale2 + upscale3(2); ×2: upscale3(2); ×3: upscale3(3)
+
+The reference constructs a ``depth-residual14`` block that its forward never
+calls (its quirk; SURVEY.md §2.9-2) — we neither build nor run it, and the
+checkpoint porter drops those dead parameters.
+
+Layout: NHWC; depth masks [B,H,W,K]; style matrix [B,K,L].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from endosr.nn.layers import (
+    Conv,
+    WNConv,
+    WNConvTranspose,
+    instance_norm,
+    leaky_relu,
+    pixel_shuffle,
+)
+from endosr.nn.sean import SEAN
+from endosr.ops.resize import interpolate_bilinear
+
+__all__ = ["DepthNet", "Encoder", "region_wise_avg_pooling",
+           "DepthResidualBlock", "ClassicResidualBlock"]
+
+
+def region_wise_avg_pooling(feature_map: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked average pool: [B,h,w,L] × [B,H,W,K] → [B,K,L].
+
+    Reference ``RegionWiseAvgPooling`` (``sftmd_arch.py:709-733``): if the mask
+    resolution differs from the feature's, bilinear-resize (align_corners) and
+    re-binarize at 0.5. The K per-bin reductions collapse into one einsum —
+    a single MXU matmul instead of K masked passes.
+    """
+    fh, fw = feature_map.shape[1], feature_map.shape[2]
+    if mask.shape[1] != fh or mask.shape[2] != fw:
+        mask = interpolate_bilinear(mask, (fh, fw), align_corners=True)
+        mask = (mask >= 0.5).astype(feature_map.dtype)
+    mask = mask.astype(feature_map.dtype)
+    sum_feat = jnp.einsum("bhwk,bhwl->bkl", mask, feature_map)
+    sum_mask = jnp.sum(mask, axis=(1, 2))  # [B,K]
+    return sum_feat / (sum_mask[..., None] + 1e-10)
+
+
+class Encoder(nn.Module):
+    """Depth-matrix encoder (``sftmd_arch.py:735-783``, weight-norm variant).
+
+    Returns (stride-1 32-ch feature for the SR trunk, [B,K,L] style matrix).
+    With ``is_baseline`` the style branch is skipped and None is returned.
+    """
+
+    latent_ch: int = 256
+    is_baseline: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, depth_mask):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        out = WNConv(32, 3, 1, 1, name="layer1", **kw)(x)
+        feat_downscaled = out
+        if self.is_baseline:
+            return leaky_relu(feat_downscaled), None
+        out = WNConv(64, 3, 2, 1, name="layer2", **kw)(leaky_relu(out))
+        out = WNConv(128, 3, 2, 1, name="layer3", **kw)(leaky_relu(out))
+        out = WNConvTranspose(self.latent_ch, 3, 2, 1, name="layer4", **kw)(leaky_relu(out))
+        out = WNConv(self.latent_ch, 3, 2, 1, name="layer5", **kw)(leaky_relu(out))
+        depth_vec = region_wise_avg_pooling(out, depth_mask)
+        return leaky_relu(feat_downscaled), depth_vec
+
+
+class EncoderNoDepthMatrix(nn.Module):
+    """Ablation encoder (``sftmd_arch.py:785-806``): spatial latent, no pooling."""
+
+    latent_ch: int = 256
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        out = WNConv(32, 3, 1, 1, name="layer1", **kw)(x)
+        feat_downscaled = out
+        out = WNConv(64, 3, 1, 1, name="layer2", **kw)(leaky_relu(out))
+        out = WNConv(128, 3, 2, 1, name="layer3", **kw)(leaky_relu(out))
+        out = WNConvTranspose(256, 3, 2, 1, name="layer4", **kw)(leaky_relu(out))
+        out = WNConv(self.latent_ch, 3, 1, 1, name="layer5", **kw)(leaky_relu(out))
+        return feat_downscaled, out
+
+
+class DepthResidualBlock(nn.Module):
+    """Depth-Guided Block (DGB): conv+IN → SEAN → ReLU → conv+IN → SEAN → +res → ReLU.
+
+    Reference ``Depth_Residual_Block_Mask`` (``sftmd_arch.py:808-834``).
+    """
+
+    nf: int = 64
+    depth_latent_ch: int = 256
+    depth_range_num: int = 10
+    use_trainable_params: bool = True
+    norm_gamma: float = 0.1
+    norm_beta: float = 0.1
+    ablate_depth_matrix: bool = False
+    ablate_depth_block: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, depth_map, depth_mask, depth_vec):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        sean_kw = dict(
+            label_nc=self.depth_range_num,
+            norm_nc=self.nf,
+            len_latent=self.depth_latent_ch,
+            use_trainable_params=self.use_trainable_params,
+            norm_gamma=self.norm_gamma,
+            norm_beta=self.norm_beta,
+            ablate_depth_matrix=self.ablate_depth_matrix,
+            ablate_depth_block=self.ablate_depth_block,
+            **kw,
+        )
+        h = instance_norm(Conv(self.nf, 3, 1, 1, name="conv1_0", **kw)(x))
+        h = SEAN(name="norm1", **sean_kw)(h, depth_map, depth_mask, depth_vec)
+        h = nn.relu(h)
+        h = instance_norm(Conv(self.nf, 3, 1, 1, name="conv2_0", **kw)(h))
+        h = SEAN(name="norm2", **sean_kw)(h, depth_map, depth_mask, depth_vec)
+        return nn.relu(x + h)
+
+
+class ClassicResidualBlock(nn.Module):
+    """wn-conv → ReLU → wn-conv → +res → ReLU (``sftmd_arch.py:128-151``)."""
+
+    nf: int = 64
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = WNConv(self.nf, 3, 1, 1, name="block_0", **kw)(x)
+        h = WNConv(self.nf, 3, 1, 1, name="block_2", **kw)(nn.relu(h))
+        return nn.relu(x + h)
+
+
+class DepthNet(nn.Module):
+    which_resblk_depth: tuple[int, ...] = tuple(range(14))
+    in_nc: int = 3
+    out_nc: int = 3
+    nf: int = 64
+    nb: int = 16
+    scale: int = 4
+    clamp_min: float = 0.0
+    clamp_max: float = 1.0
+    depth_latent_ch: int = 256
+    depth_range_num: int = 10
+    use_trainable_params: bool = True
+    norm_gamma: float = 0.1
+    norm_beta: float = 0.1
+    ablate_depth_matrix: bool = False
+    ablate_depth_block: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, depth_map, depth_mask):
+        """x: [B,H,W,3], depth_map: [B,H,W,1], depth_mask: [B,H,W,K] → [B,H·s,W·s,3]."""
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        nb = self.nb
+        which = set(self.which_resblk_depth)
+        is_baseline = len(which) == 0
+
+        # encoder
+        if self.ablate_depth_matrix:
+            feat_downscaled, depth_vec = EncoderNoDepthMatrix(
+                latent_ch=self.depth_latent_ch, name="encoder", **kw
+            )(x)
+        else:
+            feat_downscaled, depth_vec = Encoder(
+                latent_ch=self.depth_latent_ch, is_baseline=is_baseline,
+                name="encoder", **kw,
+            )(x, depth_mask)
+
+        # head: 2× wn-conv + LeakyReLU (Sequential indices 0 and 2)
+        fea = leaky_relu(WNConv(64, 3, 1, 1, name="head_0", **kw)(feat_downscaled))
+        fea_bef = leaky_relu(WNConv(64, 3, 1, 1, name="head_2", **kw)(fea))
+        fea_in = fea_bef
+
+        # ×8 → trailing 2 blocks at 32 ch; ×4 → trailing 1; ×2/×3 → all 64
+        num_last_block = 1 if self.scale == 3 else int(math.log2(self.scale))
+
+        def block_ch(i: int) -> int:
+            return 32 if i > nb - num_last_block else self.nf
+
+        def run_block(i: int, feat):
+            if i in which:
+                return DepthResidualBlock(
+                    nf=block_ch(i),
+                    depth_latent_ch=self.depth_latent_ch,
+                    depth_range_num=self.depth_range_num,
+                    use_trainable_params=self.use_trainable_params,
+                    norm_gamma=self.norm_gamma,
+                    norm_beta=self.norm_beta,
+                    ablate_depth_matrix=self.ablate_depth_matrix,
+                    ablate_depth_block=self.ablate_depth_block,
+                    name=f"depth_residual{i + 1}", **kw,
+                )(feat, depth_map, depth_mask, depth_vec)
+            return ClassicResidualBlock(
+                nf=block_ch(i), name=f"classic_residual{i + 1}", **kw
+            )(feat)
+
+        # trunk: blocks 0 .. nb-4 (the hottest loop)
+        for i in range(nb - 3):
+            fea_in = run_block(i, fea_in)
+
+        feat_add1 = fea_in + fea_bef  # global skip
+
+        # upscale1 (×8 only): 64→256 → PS(2) → 64→32
+        if self.scale == 8:
+            h = leaky_relu(WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1))
+            h = pixel_shuffle(h, 2)
+            feat_up1 = leaky_relu(WNConv(32, 3, 1, 1, name="upscale1_3", **kw)(h))
+        else:
+            feat_up1 = feat_add1
+
+        feat_up1 = run_block(nb - 2, feat_up1)
+
+        # upscale2 (≥×4): ch→128 → PS(2) → 32
+        if self.scale >= 4:
+            h = leaky_relu(
+                WNConv(32 * 4, 3, 1, 1, name="upscale2_0", **kw)(feat_up1)
+            )
+            h = pixel_shuffle(h, 2)
+            feat_up2 = leaky_relu(WNConv(32, 3, 1, 1, name="upscale2_3", **kw)(h))
+        else:
+            feat_up2 = feat_up1
+
+        feat_up2 = run_block(nb - 1, feat_up2)
+
+        # upscale3: ch→32·fs² → PS(fs)
+        final_scale = 3 if self.scale == 3 else 2
+        h = WNConv(32 * final_scale ** 2, 3, 1, 1, name="upscale3_0", **kw)(feat_up2)
+        feat_up3 = leaky_relu(pixel_shuffle(h, final_scale))
+
+        out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(feat_up3)
+        return jnp.clip(out.astype(jnp.float32), self.clamp_min, self.clamp_max)

@@ -1,0 +1,246 @@
+"""Core flax layers, NHWC / TPU-native.
+
+Weight-normalized convolutions (``g · v/‖v‖`` per output channel, matching
+torch ``nn.utils.weight_norm`` dim=0 semantics used throughout the reference
+generator, ``sftmd_arch.py:740,851``), parameter-free instance norm with fp32
+statistics, torch-exact pixel shuffle, and plain torch-initialized convs.
+
+All modules carry a ``dtype`` compute type (bf16-friendly) while parameters
+stay in ``param_dtype`` (fp32 by default) — normalization statistics are
+always taken in fp32 to stay inside the 0.05 dB parity budget.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = [
+    "Conv",
+    "ConvTranspose",
+    "WNConv",
+    "WNConvTranspose",
+    "Dense",
+    "instance_norm",
+    "pixel_shuffle",
+    "leaky_relu",
+]
+
+Dtype = Any
+
+
+def _pair(v) -> tuple[int, int]:
+    if isinstance(v, Sequence):
+        return tuple(v)  # type: ignore[return-value]
+    return (v, v)
+
+
+def torch_conv_init(fan_in: int):
+    """torch Conv2d default init: kaiming_uniform(a=√5) ≡ U(−1/√fan_in, 1/√fan_in)."""
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _conv(x, w, strides, padding, dtype, lhs_dilation=None, groups=1):
+    ph, pw = _pair(padding)
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w.astype(dtype),
+        window_strides=_pair(strides),
+        padding=[(ph, ph), (pw, pw)],
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
+class Conv(nn.Module):
+    """Plain conv2d with torch-default init; NHWC, torch-style int padding."""
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: int | tuple[int, int] = 1
+    padding: int | tuple[int, int] = 1
+    use_bias: bool = True
+    groups: int = 1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * kh * kw
+        w = self.param(
+            "kernel", torch_conv_init(fan_in),
+            (kh, kw, in_ch // self.groups, self.features), self.param_dtype,
+        )
+        y = _conv(x, w, self.strides, self.padding, self.dtype, groups=self.groups)
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.features,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class WNConv(nn.Module):
+    """Weight-normalized conv2d: w = g · v/‖v‖ (norm over kh,kw,in per out ch)."""
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: int | tuple[int, int] = 1
+    padding: int | tuple[int, int] = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw
+        v = self.param(
+            "v", torch_conv_init(fan_in), (kh, kw, in_ch, self.features), self.param_dtype
+        )
+        # g initialized to ‖v‖ so the initial effective weight equals v,
+        # exactly like torch weight_norm wrapping a freshly-initialized conv.
+        g = self.param(
+            "g",
+            lambda rng: jnp.sqrt(
+                jnp.sum(jnp.square(v.astype(jnp.float32)), axis=(0, 1, 2))
+            ).astype(self.param_dtype),
+        )
+        v32 = v.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v32), axis=(0, 1, 2), keepdims=True))
+        w = v32 * (g.astype(jnp.float32) / norm)
+        y = _conv(x, w, self.strides, self.padding, self.dtype)
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.features,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """torch-semantics ConvTranspose2d via lhs-dilated conv.
+
+    out = (in−1)·stride − 2·padding + kernel  (output_padding = 0)
+
+    Kernel is stored HWIO with I = input channels (torch layout transposed),
+    spatially flipped at call time.
+    """
+
+    features: int
+    kernel_size: int | tuple[int, int] = 3
+    strides: int | tuple[int, int] = 2
+    padding: int | tuple[int, int] = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def _kernel(self, in_ch):
+        kh, kw = _pair(self.kernel_size)
+        fan_in = self.features * kh * kw  # torch fan-in convention for ConvT
+        return self.param(
+            "kernel", torch_conv_init(fan_in), (kh, kw, in_ch, self.features), self.param_dtype
+        ), fan_in
+
+    def _apply(self, x, w, fan_in):
+        kh, kw = _pair(self.kernel_size)
+        ph, pw = _pair(self.padding)
+        sh, sw = _pair(self.strides)
+        w = jnp.flip(w, axis=(0, 1))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.features,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y
+
+    @nn.compact
+    def __call__(self, x):
+        w, fan_in = self._kernel(x.shape[-1])
+        return self._apply(x, w.astype(jnp.float32), fan_in)
+
+
+class WNConvTranspose(ConvTranspose):
+    """Weight-normalized ConvTranspose2d (torch dim=0 ⇒ per-INPUT-channel norm)."""
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = _pair(self.kernel_size)
+        in_ch = x.shape[-1]
+        fan_in = self.features * kh * kw
+        v = self.param(
+            "v", torch_conv_init(fan_in), (kh, kw, in_ch, self.features), self.param_dtype
+        )
+        g = self.param(
+            "g",
+            lambda rng: jnp.sqrt(
+                jnp.sum(jnp.square(v.astype(jnp.float32)), axis=(0, 1, 3))
+            ).astype(self.param_dtype),
+        )
+        v32 = v.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v32), axis=(0, 1, 3), keepdims=True))
+        w = v32 * (g.astype(jnp.float32)[None, None, :, None] / norm)
+        return self._apply(x, w, fan_in)
+
+
+class Dense(nn.Module):
+    """torch nn.Linear-initialized dense layer."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        w = self.param("kernel", torch_conv_init(in_f), (in_f, self.features), self.param_dtype)
+        y = jnp.dot(x.astype(self.dtype), w.astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(in_f), (self.features,), self.param_dtype)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Parameter-free InstanceNorm2d (NHWC): per-sample per-channel over H, W.
+
+    Statistics in fp32 (biased variance, like torch); output in x.dtype.
+    """
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """torch nn.PixelShuffle for NHWC: [B,H,W,C·r²] → [B,H·r,W·r,C].
+
+    Channel unpacking order matches torch's NCHW semantics
+    (in-channel index = c·r² + i·r + j) so ported checkpoints line up.
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, x * negative_slope)

@@ -1,0 +1,131 @@
+"""SEAN depth-conditioned normalization — the paper's core novelty.
+
+TPU-native rebuild of the reference's SEAN module
+(``codes/models/modules/normalization.py:7-92``): parameter-free instance
+norm (fp32 stats) modulated by two sources, blended by trainable scalars —
+
+  (o) depth-map branch: γ_o, β_o = convs(relu(conv(depthMap)))
+  (s) depth-matrix branch: per-bin style vectors are mixed by a 1×1 conv
+      ``A_i_j`` over the bin axis and broadcast to pixels through the binary
+      depth masks. The reference does this with an unsqueeze/expand/permute/
+      matmul dance; here it is a single einsum
+      ``style[b,h,w,l] = Σ_k st'[b,k,l]·mask[b,h,w,k]`` → one MXU matmul.
+
+Layout is NHWC; the style matrix is [B, K, L] (K depth bins, L latent).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from endosr.nn.layers import Conv, ConvTranspose, instance_norm, torch_conv_init
+from endosr.ops.resize import interpolate_nearest
+
+__all__ = ["SEAN"]
+
+
+class SEAN(nn.Module):
+    label_nc: int = 10          # number of depth bins K
+    norm_nc: int = 32           # channels of the normalized feature
+    len_latent: int = 256       # style-vector length L
+    inject_st: bool = True
+    use_trainable_params: bool = True
+    norm_gamma: float = 0.1     # fixed blend if not trainable
+    norm_beta: float = 0.1
+    ablate_depth_matrix: bool = False
+    ablate_depth_block: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, depth_map, depth_mask, st):
+        """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L]."""
+        c = self.norm_nc
+        nhidden = c * 2
+        size = (x.shape[1], x.shape[2])
+
+        normalized = instance_norm(x)
+
+        depth_map = interpolate_nearest(depth_map, size).astype(self.dtype)
+        depth_mask = interpolate_nearest(depth_mask, size).astype(self.dtype)
+
+        actv = nn.relu(
+            Conv(nhidden, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                 name="mlp_mask_0")(depth_map)
+        )
+
+        if self.ablate_depth_block:
+            # ablation: concatenate a duplicated/downscaled style matrix
+            dup = jnp.broadcast_to(
+                st[:, :, :, None], (*st.shape, st.shape[2])
+            )  # [B,K,L,L]
+            dup = dup.transpose(0, 2, 3, 1)  # NHWC with K channels
+            down = ConvTranspose(self.label_nc, 3, 2, 1, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="mlp_depthMatrix")(dup)
+            down = interpolate_nearest(down, size)
+            cat = jnp.concatenate([down, actv], axis=-1)
+            cat = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="mlp_before_all")(cat)
+            gamma = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="mlp_gamma_all")(cat)
+            beta = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="mlp_beta_all")(cat)
+            return normalized * (1 + gamma) + beta
+
+        beta_o = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="mlp_beta_o")(actv)
+        gamma_o = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="mlp_gamma_o")(actv)
+
+        if not self.inject_st:
+            return normalized * (1 + gamma_o) + beta_o
+
+        if self.ablate_depth_matrix:
+            # st is a spatial latent [B,h,w,L]
+            beta_s = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="mlp_beta_s")(st)
+            gamma_s = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="mlp_gamma_s")(st)
+        else:
+            # A_i_j: 1×1 conv over the bin axis (torch applies it to the
+            # [B,K,L,1] "image"; algebraically a K×K mix of style rows).
+            k = self.label_nc
+            a_w = self.param("A_i_j_kernel", torch_conv_init(k),
+                             (1, 1, k, k), self.param_dtype)
+            a_b = self.param("A_i_j_bias", torch_conv_init(k),
+                             (k,), self.param_dtype)
+            st = st.astype(self.dtype)
+            st_mixed = (
+                jnp.einsum("jk,bjl->bkl", a_w[0, 0].astype(self.dtype), st)
+                + a_b.astype(self.dtype)[None, :, None]
+            )
+            # broadcast per-bin styles to pixels through the masks (MXU matmul)
+            style_map = jnp.einsum("bkl,bhwk->bhwl", st_mixed, depth_mask)
+            beta_s = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="mlp_beta_s")(style_map)
+            gamma_s = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="mlp_gamma_s")(style_map)
+
+        if self.use_trainable_params:
+            # torch init: Parameter(torch.rand(1)) — uniform [0,1)
+            import jax
+
+            alpha_gamma = self.param(
+                "alpha_gamma", lambda rng: jax.random.uniform(rng, (1,), self.param_dtype)
+            )
+            alpha_beta = self.param(
+                "alpha_beta", lambda rng: jax.random.uniform(rng, (1,), self.param_dtype)
+            )
+            ag = alpha_gamma.astype(self.dtype)
+            ab = alpha_beta.astype(self.dtype)
+        else:
+            ag = jnp.asarray(self.norm_gamma, self.dtype)
+            ab = jnp.asarray(self.norm_beta, self.dtype)
+
+        gamma = ag * gamma_s + (1.0 - ag) * gamma_o
+        beta = ab * beta_s + (1.0 - ab) * beta_o
+        return normalized * (1 + gamma) + beta

@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers — the TPU-native distributed backend.
+
+Replaces the reference's NCCL/DDP machinery (``train.py:19-27``,
+``F_model_depthCond.py:32-35``, ``data/data_sampler.py``) with the idiomatic
+JAX recipe: one 1-D ``Mesh(('data',))`` over all chips, batches sharded on
+the leading axis, parameters replicated; XLA inserts the gradient
+all-reduces over ICI/DCN inside the jitted train step. Multi-host
+initialization goes through ``jax.distributed.initialize`` (call
+``maybe_init_distributed`` before touching devices).
+
+The flagship generator is a 64-filter CNN — data parallelism saturates it;
+a model axis can be added to the mesh here without touching the train step
+(shardings are all expressed through ``NamedSharding``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["maybe_init_distributed", "make_mesh", "get_mesh", "shard_batch",
+           "replicate", "is_main_process"]
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host init when launched under a JAX cluster env; no-op otherwise."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+@lru_cache(maxsize=1)
+def get_mesh() -> Mesh:
+    return make_mesh()
+
+
+def shard_batch(batch, mesh: Mesh | None = None, axis: str = "data"):
+    """Device-put a host batch dict with the leading dim sharded over the mesh."""
+    mesh = mesh or get_mesh()
+
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh | None = None):
+    """Device-put a pytree fully replicated over the mesh."""
+    mesh = mesh or get_mesh()
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
