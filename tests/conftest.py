@@ -12,6 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This image pre-imports jax at interpreter startup with platforms preset to
+# "axon,cpu" (the TPU tunnel), so the env vars above arrive too late —
+# force the CPU backend through the live config before any device is touched.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 from pathlib import Path
 
