@@ -45,13 +45,20 @@ def get_mesh() -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh | None = None, axis: str = "data"):
-    """Device-put a host batch dict with the leading dim sharded over the mesh."""
+    """Device-put a host batch dict with the leading dim sharded over the mesh.
+
+    Leaves whose leading dim doesn't divide the mesh (e.g. bs=1 eval batches)
+    are replicated instead — XLA then computes them redundantly but
+    correctly, which only ever happens off the hot training path.
+    """
     mesh = mesh or get_mesh()
+    n = mesh.devices.size
 
     def put(x):
         if not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        return jax.device_put(x, NamedSharding(mesh, P(axis)))
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = P(axis) if x.shape[0] % n == 0 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)
 
