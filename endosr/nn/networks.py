@@ -16,7 +16,7 @@ def _dataset_block(opt):
     ds = opt.get("datasets") or {}
     if opt.get("is_train") and "train" in ds:
         return ds["train"]
-    for k in ("test", "val", "test_1"):
+    for k in ("test_1", "test", "val"):
         if k in ds:
             return ds[k]
     return next(iter(ds.values())) if ds else {}
@@ -50,6 +50,17 @@ def define_G(opt, dtype=jnp.float32):
             dtype=dtype,
         )
     if which_model == "SFTMD":
+        # the reference maps 'SFTMD' to the kernel-free variant
+        # (``networks.py:29-31``); the kernel-conditioned SFTMD is available
+        # as which_model_G: SFTMD_kernel
+        from endosr.nn.sftmd_variants import SFTMDNoKernel
+
+        return SFTMDNoKernel(
+            in_nc=opt_net.get("in_nc", 3), out_nc=opt_net.get("out_nc", 3),
+            nf=opt_net.get("nf", 64), nb=opt_net.get("nb", 16),
+            scale=int(scale), dtype=dtype,
+        )
+    if which_model == "SFTMD_kernel":
         from endosr.nn.sftmd import SFTMD
 
         return SFTMD(
@@ -57,6 +68,42 @@ def define_G(opt, dtype=jnp.float32):
             nf=opt_net.get("nf", 64), nb=opt_net.get("nb", 16),
             scale=int(scale), input_para=opt_net.get("code_length", 10),
             dtype=dtype,
+        )
+    if which_model == "SFTMD_DEMO":
+        from endosr.nn.sftmd import SFTMDDemo
+
+        return SFTMDDemo(
+            in_nc=opt_net.get("in_nc", 3), out_nc=opt_net.get("out_nc", 3),
+            nf=opt_net.get("nf", 64), nb=opt_net.get("nb", 16),
+            scale=int(scale), input_para=opt_net.get("code_length", 10),
+            dtype=dtype,
+        )
+    if which_model == "SFTMD_upsacle_after_ResBlk":
+        from endosr.nn.sftmd_variants import SFTMDUpscaleAfterResBlk
+
+        return SFTMDUpscaleAfterResBlk(
+            in_nc=opt_net.get("in_nc", 3), out_nc=opt_net.get("out_nc", 3),
+            nf=opt_net.get("nf", 64), nb=opt_net.get("nb", 16), dtype=dtype,
+        )
+    if which_model == "SFTMD_upsacle_after_ResBlk_depth":
+        from endosr.nn.sftmd_variants import SFTMDUpscaleAfterResBlkDepth
+
+        return SFTMDUpscaleAfterResBlkDepth(
+            pred_depth=bool(opt_net.get("predict_depth_map", False)),
+            n_depth_resblk=opt_net.get("n_depthResBlk", 3),
+            use_attention=bool(opt_net.get("use_attention", False)),
+            in_nc=opt_net.get("in_nc", 3), out_nc=opt_net.get("out_nc", 3),
+            nf=opt_net.get("nf", 64), nb=opt_net.get("nb", 16), dtype=dtype,
+        )
+    if which_model == "SFTMD_upsacle_after_ResBlk_depth_condition":
+        from endosr.nn.sftmd_variants import (
+            SFTMDUpscaleAfterResBlkDepthCondition,
+        )
+
+        return SFTMDUpscaleAfterResBlkDepthCondition(
+            which_resblk_depth=tuple(opt_net.get("which_ResBlk_depth") or ()),
+            in_nc=opt_net.get("in_nc", 3), out_nc=opt_net.get("out_nc", 3),
+            nf=opt_net.get("nf", 64), nb=opt_net.get("nb", 16), dtype=dtype,
         )
     if which_model == "Predictor":
         from endosr.nn.sftmd import Predictor
@@ -106,4 +153,5 @@ def define_F(opt, use_bn: bool = False, dtype=jnp.float32):
 def define_SegNet(opt, dtype=jnp.float32):
     from endosr.nn.fcn import FCN8s
 
-    return FCN8s(n_class=2, dtype=dtype)
+    opt_net = opt.get("network_SegNet") or {}
+    return FCN8s(n_class=opt_net.get("num_classes", 2), dtype=dtype)
