@@ -35,6 +35,8 @@ def create_dataset(dataset_opt):
         from endosr.data.datasets import EndoSceneDepthnewDataset as D
     elif mode == "LQker":
         from endosr.data.datasets import LQKerDataset as D
+    elif mode == "LRHR_seg_bg":
+        from endosr.data.datasets import LRHRSegBGDataset as D
     else:
         raise NotImplementedError(f"Dataset [{mode}] is not recognized.")
     dataset = D(dataset_opt)

@@ -27,6 +27,7 @@ __all__ = [
     "LQDataset",
     "LQKerDataset",
     "SRKerDataset",
+    "LRHRSegBGDataset",
 ]
 
 
@@ -350,3 +351,121 @@ class SRKerDataset(_Base):
         if self.est_ker_map_list is not None:
             item["est_ker_map"] = np.asarray(self.est_ker_map_list[index], np.float32)
         return item
+
+
+class LRHRSegBGDataset(_Base):
+    """LR/HR/segmentation/category dataset for SFT-GAN.
+
+    Capability twin of ``codes/data/LRHR_seg_bg_dataset.py``: HR images with
+    per-image 8-channel segmentation probability maps (stored as ``.npy``
+    HWC files beside a ``seg/`` root here, vs the reference's torch ``.pth``
+    under ``/bicseg/``), a 1-in-10 chance of sampling a background image with
+    an all-background seg map, on-the-fly MATLAB-bicubic LR generation with
+    random rescale, paired random crop + flip/rot, and the OST category-from-
+    path convention (building/plant/mountain/water/sky/grass/animal).
+    """
+
+    CATEGORIES = ("building", "plant", "mountain", "water", "sky", "grass",
+                  "animal")
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.HR_paths = util.get_image_paths("img", opt["dataroot_GT"])
+        self.GT_paths = self.HR_paths
+        self.LR_paths = (util.get_image_paths("img", opt["dataroot_LR"])
+                         if opt.get("dataroot_LR") else None)
+        self.BG_paths = (util.get_image_paths("img", opt["dataroot_GT_bg"])
+                         if opt.get("dataroot_GT_bg") else None)
+        self.seg_root = opt.get("dataroot_seg")
+        self.random_scale_list = [1, 0.9, 0.8, 0.7, 0.6, 0.5]
+        self.ratio = 10
+
+    def _load_seg(self, hr_path, shape):
+        if self.seg_root:
+            p = os.path.join(
+                self.seg_root,
+                os.path.basename(hr_path).rsplit(".", 1)[0] + ".npy")
+            if os.path.exists(p):
+                return np.load(p).astype(np.float32)
+        seg = np.zeros((shape[0], shape[1], 8), np.float32)
+        seg[..., 0] = 1.0
+        return seg
+
+    def __getitem__(self, index):
+        import cv2
+
+        opt = self.opt
+        scale = opt["scale"]
+        hr_size = opt.get("HR_size") or opt.get("GT_size")
+
+        use_bg = (self._is_train() and self.BG_paths
+                  and self.rng.randrange(self.ratio) == 0)
+        if use_bg:
+            HR_path = self.BG_paths[self.rng.randrange(len(self.BG_paths))]
+            img_HR = util.read_img(None, HR_path)
+            seg = np.zeros((img_HR.shape[0], img_HR.shape[1], 8), np.float32)
+            seg[..., 0] = 1.0
+        else:
+            HR_path = self.HR_paths[index]
+            img_HR = util.read_img(None, HR_path)
+            seg = self._load_seg(HR_path, img_HR.shape)
+
+        if not self._is_train():
+            img_HR = modcrop(img_HR, 8)
+            seg = seg[: img_HR.shape[0], : img_HR.shape[1]]
+
+        LR_path = None
+        if self.LR_paths and not use_bg:
+            LR_path = self.LR_paths[index]
+            img_LR = util.read_img(None, LR_path)
+        else:
+            if self._is_train():
+                rs = self.rng.choice(self.random_scale_list)
+                h_s, w_s = img_HR.shape[:2]
+
+                def _mod(n):
+                    r = int(n * rs)
+                    r = (r // scale) * scale
+                    return hr_size if r < hr_size else r
+
+                h_s, w_s = _mod(h_s), _mod(w_s)
+                img_HR = cv2.resize(np.copy(img_HR), (w_s, h_s),
+                                    interpolation=cv2.INTER_LINEAR)
+                seg = cv2.resize(np.copy(seg), (w_s, h_s),
+                                 interpolation=cv2.INTER_NEAREST)
+            img_LR = imresize_np(img_HR, 1 / scale, True)
+            if img_LR.ndim == 2:
+                img_LR = np.expand_dims(img_LR, axis=2)
+
+        if self._is_train():
+            lr_size = hr_size // scale
+            h, w = img_LR.shape[:2]
+            rnd_h = self.rng.randint(0, max(0, h - lr_size))
+            rnd_w = self.rng.randint(0, max(0, w - lr_size))
+            img_LR = img_LR[rnd_h:rnd_h + lr_size, rnd_w:rnd_w + lr_size]
+            rh, rw = rnd_h * scale, rnd_w * scale
+            img_HR = img_HR[rh:rh + hr_size, rw:rw + hr_size]
+            seg = seg[rh:rh + hr_size, rw:rw + hr_size]
+            img_LR, img_HR, seg = util.augment(
+                [img_LR, img_HR, seg], opt.get("use_flip", False),
+                opt.get("use_rot", False), self.rng)
+            category = 0
+            for i, name in enumerate(self.CATEGORIES, start=1):
+                if name in HR_path:
+                    category = i
+                    break
+        else:
+            category = -1
+
+        if img_HR.shape[2] == 3:
+            img_HR = img_HR[:, :, ::-1]
+            img_LR = img_LR[:, :, ::-1]
+        return {
+            "LR": np.ascontiguousarray(img_LR, np.float32),
+            "HR": np.ascontiguousarray(img_HR, np.float32),
+            "GT": np.ascontiguousarray(img_HR, np.float32),
+            "seg": np.ascontiguousarray(seg, np.float32),
+            "category": np.int64(category),
+            "LR_path": LR_path or HR_path,
+            "HR_path": HR_path,
+        }

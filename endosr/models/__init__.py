@@ -16,6 +16,8 @@ def create_model(opt, **kwargs):
         from endosr.models.sr_model import SRModel as M
     elif model == "srgan":
         from endosr.models.srgan_model import SRGANModel as M
+    elif model == "sftgan":
+        from endosr.models.sftgan_model import SFTGANACDModel as M
     elif model == "predictor":
         from endosr.models.p_model import PModel as M
     elif model == "corrector":

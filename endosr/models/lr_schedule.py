@@ -86,6 +86,17 @@ def multistep(base_lr: float, milestones: Sequence[int], gamma: float = 0.1):
     return multistep_restart(base_lr, milestones, gamma)
 
 
+def step_lr(base_lr: float, step_size: int, gamma: float = 0.1):
+    """torch StepLR: lr = base·γ^(t // step_size) (segNet scheduler,
+    ``F_model_depthSeg.py:139``)."""
+
+    def schedule(step):
+        n = jnp.asarray(step, jnp.int32) // int(step_size)
+        return base_lr * gamma ** n.astype(jnp.float32)
+
+    return schedule
+
+
 def with_warmup(schedule, init_lr: float, warmup_iter: int):
     """Linear warmup override (``base_model.py:57-63``); no-op if ≤ 0."""
     if warmup_iter is None or warmup_iter <= 0:
