@@ -1,0 +1,106 @@
+"""Config system and loader tests."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from endosr.config import options as option
+from endosr.data import ShardedLoader
+
+
+def test_parse_train_config():
+    p = os.path.join(os.path.dirname(__file__), "..",
+                     "options/train/train_depthNet_SEAN_depthMask_x8.yml")
+    opt = option.parse(p, is_train=True, root="/tmp/endosr_test")
+    assert opt["scale"] == 8
+    assert opt["datasets"]["train"]["phase"] == "train"
+    assert opt["datasets"]["train"]["scale"] == 8
+    assert opt["datasets"]["train"]["data_type"] == "img"
+    assert opt["network_G"]["scale"] == 8
+    assert opt["path"]["models"].endswith("models")
+    # debug-mode overrides
+    opt2 = option.parse(p, is_train=True, root="/tmp/endosr_test")
+    opt2["name"] = "debug_x8"
+    # (debug rewiring happens inside parse; simulate by re-parsing a debug yml)
+
+
+def test_debug_mode_overrides(tmp_path):
+    p = os.path.join(os.path.dirname(__file__), "..",
+                     "options/train/train_depthNet_SEAN_depthMask_x8.yml")
+    with open(p) as f:
+        cfg = yaml.safe_load(f)
+    cfg["name"] = "debug_run"
+    q = tmp_path / "debug.yml"
+    q.write_text(yaml.dump(cfg))
+    opt = option.parse(str(q), is_train=True, root=str(tmp_path))
+    assert opt["train"]["val_freq"] == 8
+    assert opt["logger"]["print_freq"] == 1
+    assert opt["logger"]["save_checkpoint_freq"] == 8
+
+
+def test_nonedict():
+    d = option.dict_to_nonedict({"a": {"b": 1}})
+    assert d["a"]["b"] == 1
+    assert d["missing"] is None
+    assert d["a"]["missing"] is None
+
+
+def test_check_resume():
+    opt = {"path": {"resume_state": "/x/training_state/500.state",
+                    "models": "/x/models"}, "model": "sftmd_depthCond"}
+    option.check_resume(opt, 500)
+    assert opt["path"]["pretrain_model_G"] == "/x/models/500_G.ckpt"
+
+
+class _FakeDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.full((2, 2), i, np.float32), "path": f"p{i}"}
+
+
+def test_sharded_loader_epochs_and_shards():
+    ds = _FakeDataset(10)
+    loader = ShardedLoader(ds, batch_size=4, shuffle=True, seed=0, ratio=2,
+                           drop_last=True, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 5  # 10*2 // 4
+    assert batches[0]["x"].shape == (4, 2, 2)
+    assert isinstance(batches[0]["path"], list)
+
+    # epoch-seeded determinism
+    loader.set_epoch(3)
+    a = [b["x"].sum() for b in loader]
+    loader.set_epoch(3)
+    b = [b["x"].sum() for b in loader]
+    assert a == b
+    loader.set_epoch(4)
+    c = [b["x"].sum() for b in loader]
+    assert a != c
+
+    # sharding partitions the index space
+    shard0 = ShardedLoader(ds, 2, seed=0, ratio=1, num_shards=2, shard_index=0,
+                           prefetch=0)
+    shard1 = ShardedLoader(ds, 2, seed=0, ratio=1, num_shards=2, shard_index=1,
+                           prefetch=0)
+    shard0.set_epoch(0)
+    shard1.set_epoch(0)
+    n0 = sum(b["x"].shape[0] for b in shard0)
+    n1 = sum(b["x"].shape[0] for b in shard1)
+    assert n0 == n1 == 4  # 10/2=5 → drop_last at bs2 → 4
+
+
+def test_loader_propagates_worker_errors():
+    class Bad(_FakeDataset):
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    loader = ShardedLoader(Bad(4), 2, prefetch=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(loader)
