@@ -4,12 +4,18 @@ config).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``vs_baseline`` is measured fps divided by 15 fps — our documented estimate
-of the reference PyTorch 1.6 DepthNet's single-GPU (V100-class) inference
-throughput at this shape; the repo publishes no number (BASELINE.md), so
-this anchor is explicit here and can be replaced the moment a real
-measurement of the released checkpoint exists. The >10× north-star target
-therefore corresponds to vs_baseline ≥ 10.
+Methodology: the attached TPU is reached through a tunnel whose
+``block_until_ready`` does not wait for remote completion, so naive host
+timing is meaningless. Instead N forwards are chained through a scalar data
+dependency (each call's input depends on the previous call's output, forcing
+serial device execution) and a single scalar is fetched at the end; the
+per-frame time is the difference quotient between two chain lengths, which
+cancels the dispatch and fetch constants and measures on-device compute.
+
+``vs_baseline`` divides by 15 fps — our documented estimate of the reference
+PyTorch 1.6 DepthNet's single-GPU (V100-class) throughput at this shape (the
+repo publishes no number, BASELINE.md); the >10× north-star target
+corresponds to vs_baseline ≥ 10.
 """
 
 from __future__ import annotations
@@ -28,8 +34,6 @@ def main():
 
     from endosr.nn.depthnet import DepthNet
 
-    # bf16 compute for the conv/matmul path; IN statistics and the clamp
-    # stay fp32 inside the model (see endosr/nn/layers.py).
     net = DepthNet(
         which_resblk_depth=tuple(range(14)), scale=8,
         depth_latent_ch=256, depth_range_num=10,
@@ -37,11 +41,12 @@ def main():
     )
 
     lr = 128
+    batch = 8  # serving throughput config; dispatch overhead amortized
     rng = np.random.default_rng(0)
-    lq = jnp.asarray(rng.random((1, lr, lr, 3), dtype=np.float32))
-    depth = jnp.asarray(rng.random((1, lr, lr, 1), dtype=np.float32))
-    masks_np = np.zeros((1, lr, lr, 10), np.float32)
-    bins = rng.integers(0, 10, (1, lr, lr))
+    lq = jnp.asarray(rng.random((batch, lr, lr, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.random((batch, lr, lr, 1), dtype=np.float32))
+    masks_np = np.zeros((batch, lr, lr, 10), np.float32)
+    bins = rng.integers(0, 10, (batch, lr, lr))
     for k in range(10):
         masks_np[..., k] = bins == k
     masks = jnp.asarray(masks_np)
@@ -49,22 +54,28 @@ def main():
     params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
 
     @jax.jit
-    def forward(params, lq, depth, masks):
-        return net.apply({"params": params}, lq, depth, masks)
+    def step(params, lq, depth, masks, acc):
+        out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
+        return acc + jnp.mean(out) * 1e-12
 
-    # warmup / compile
-    forward(params, lq, depth, masks).block_until_ready()
+    def run(n):
+        acc = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = step(params, lq, depth, masks, acc)
+        v = jax.device_get(acc)
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
 
-    n_iters = 50
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = forward(params, lq, depth, masks)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    run(2)  # compile + warm
+    n1, n2 = 5, 45
+    t1 = min(run(n1) for _ in range(3))
+    t2 = min(run(n2) for _ in range(3))
+    per_step = (t2 - t1) / (n2 - n1)
+    fps = batch / per_step
 
-    fps = n_iters / dt
     print(json.dumps({
-        "metric": "frames/sec/chip, DepthNet x8 Kvasir inference (128->1024, bs1)",
+        "metric": "frames/sec/chip, DepthNet x8 Kvasir inference (128->1024, bs8)",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),

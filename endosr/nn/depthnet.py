@@ -120,6 +120,7 @@ class DepthResidualBlock(nn.Module):
     norm_beta: float = 0.1
     ablate_depth_matrix: bool = False
     ablate_depth_block: bool = False
+    fused_epilogue: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -135,6 +136,7 @@ class DepthResidualBlock(nn.Module):
             norm_beta=self.norm_beta,
             ablate_depth_matrix=self.ablate_depth_matrix,
             ablate_depth_block=self.ablate_depth_block,
+            fused_epilogue=self.fused_epilogue,
             **kw,
         )
         h = instance_norm(Conv(self.nf, 3, 1, 1, name="conv1_0", **kw)(x))
@@ -176,6 +178,7 @@ class DepthNet(nn.Module):
     norm_beta: float = 0.1
     ablate_depth_matrix: bool = False
     ablate_depth_block: bool = False
+    fused_epilogue: bool = False  # Pallas IN+modulation epilogue (inference)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -220,6 +223,7 @@ class DepthNet(nn.Module):
                     norm_beta=self.norm_beta,
                     ablate_depth_matrix=self.ablate_depth_matrix,
                     ablate_depth_block=self.ablate_depth_block,
+                    fused_epilogue=self.fused_epilogue,
                     name=f"depth_residual{i + 1}", **kw,
                 )(feat, depth_map, depth_mask, depth_vec)
             return ClassicResidualBlock(

@@ -95,6 +95,7 @@ class SEAN(nn.Module):
     norm_beta: float = 0.1
     ablate_depth_matrix: bool = False
     ablate_depth_block: bool = False
+    fused_epilogue: bool = False   # Pallas fused IN+modulation (inference)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -105,7 +106,16 @@ class SEAN(nn.Module):
         nhidden = c * 2
         size = (x.shape[1], x.shape[2])
 
-        normalized = instance_norm(x)
+        def epilogue(gamma, beta):
+            if self.fused_epilogue:
+                from endosr.kernels.fused_in_mod import (
+                    fused_instance_norm_modulate,
+                )
+
+                return fused_instance_norm_modulate(
+                    x, gamma.astype(jnp.float32), beta.astype(jnp.float32)
+                )
+            return instance_norm(x) * (1 + gamma) + beta
 
         depth_map = interpolate_nearest(depth_map, size).astype(self.dtype)
         depth_mask = interpolate_nearest(depth_mask, size).astype(self.dtype)
@@ -132,7 +142,7 @@ class SEAN(nn.Module):
                          name="mlp_gamma_all")(cat)
             beta = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="mlp_beta_all")(cat)
-            return normalized * (1 + gamma) + beta
+            return epilogue(gamma, beta)
 
         beta_o = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="mlp_beta_o")(actv)
@@ -140,7 +150,7 @@ class SEAN(nn.Module):
                        name="mlp_gamma_o")(actv)
 
         if not self.inject_st:
-            return normalized * (1 + gamma_o) + beta_o
+            return epilogue(gamma_o, beta_o)
 
         if self.ablate_depth_matrix:
             # st is a spatial latent [B,h,w,L]
@@ -192,4 +202,4 @@ class SEAN(nn.Module):
 
         gamma = ag * gamma_s + (1.0 - ag) * gamma_o
         beta = ab * beta_s + (1.0 - ab) * beta_o
-        return normalized * (1 + gamma) + beta
+        return epilogue(gamma, beta)

@@ -203,3 +203,34 @@ class SRMDPreprocessing:
         if return_kernel:
             return lr, code, kernels
         return lr, code
+
+
+class IsoGaussian:
+    """Isotropic-only degradation pipeline (``utils/util.py:458-503``):
+    random isotropic blur in [sig_min, sig_max], bicubic down, optional noise.
+    Returns (LR, kernel_code) with the code from the provided PCA basis."""
+
+    def __init__(self, scale: int, pca: np.ndarray, para_input: int = 10,
+                 kernel: int = 21, noise: bool = False, sig_min: float = 1.8,
+                 sig_max: float = 3.2, noise_high: float = 0.0):
+        self.pca = jnp.asarray(pca)
+        self.scale = scale
+        self.l = kernel
+        self.noise = noise
+        self.sig_min, self.sig_max = sig_min, sig_max
+        self.noise_high = noise_high
+
+    @partial(jax.jit, static_argnums=(0,))
+    def __call__(self, key, hr_batch: jax.Array):
+        b = hr_batch.shape[0]
+        k_sig, k_noise = jax.random.split(key)
+        sig = jax.random.uniform(k_sig, (b,), minval=self.sig_min,
+                                 maxval=self.sig_max)
+        kernels = isotropic_gaussian_kernel(self.l, sig)
+        blurred = batch_blur(hr_batch, kernels)
+        code = pca_encode(kernels, self.pca)
+        lr = bicubic_downsample(blurred, self.scale)
+        if self.noise:
+            noise = jax.random.normal(k_noise, lr.shape) * self.noise_high
+            lr = jnp.clip(lr + noise, 0.0, 1.0)
+        return lr, code

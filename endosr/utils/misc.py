@@ -120,3 +120,46 @@ class Timer:
 
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self.start
+
+
+class ProgressBar:
+    """Console progress bar (twin of ``utils/util.py:700-747``)."""
+
+    def __init__(self, task_num: int = 0, bar_width: int = 50,
+                 start: bool = True):
+        self.task_num = task_num
+        self.bar_width = bar_width
+        self.completed = 0
+        if start:
+            self.start()
+
+    def start(self):
+        if self.task_num > 0:
+            sys.stdout.write(
+                f"[{' ' * self.bar_width}] 0/{self.task_num}, elapsed: 0s, ETA:\n"
+            )
+        else:
+            sys.stdout.write("completed: 0, elapsed: 0s")
+        sys.stdout.flush()
+        self.start_time = time.time()
+
+    def update(self, msg: str = "In progress..."):
+        self.completed += 1
+        elapsed = max(time.time() - self.start_time, 1e-9)
+        fps = self.completed / elapsed
+        if self.task_num > 0:
+            percentage = self.completed / float(self.task_num)
+            eta = int(elapsed * (1 - percentage) / max(percentage, 1e-9) + 0.5)
+            mark_width = int(self.bar_width * percentage)
+            bar = ">" * mark_width + "-" * (self.bar_width - mark_width)
+            sys.stdout.write(
+                f"\033[J[{bar}] {self.completed}/{self.task_num}, "
+                f"{fps:.1f} task/s, elapsed: {int(elapsed + 0.5)}s, "
+                f"ETA: {eta:5d}s\n{msg}\n\033[2A"
+            )
+        else:
+            sys.stdout.write(
+                f"completed: {self.completed}, elapsed: {int(elapsed + 0.5)}s,"
+                f" {fps:.1f} tasks/s"
+            )
+        sys.stdout.flush()
