@@ -169,7 +169,14 @@ def test_depth_masks_partition():
 
 @requires_reference
 def test_psnr_ssim_match_reference(reference_path):
-    import utils.util as ref_util
+    # load by file path: `depth_estimation/utils.py` (a module) can shadow
+    # the reference's `utils` package depending on test order
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "ref_utils_util", reference_path / "utils" / "util.py")
+    ref_util = ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_util)
 
     a = (RNG.random((40, 40, 3)) * 255).round().astype(np.float64)
     b = np.clip(a + RNG.normal(0, 8, a.shape), 0, 255).round()
