@@ -230,7 +230,11 @@ class EndoSceneDepthDataset(_Base):
             "GT_path": self.GT_paths[index],
         }
         if seg is not None:
+            # one-hot + integer labels, reference key names (``Seg_onehot``/
+            # ``Seg``, F_model_depthSeg.feed_data) plus the NHWC alias
             out["SegLabel"] = np.ascontiguousarray(seg, np.float32)
+            out["Seg_onehot"] = out["SegLabel"]
+            out["Seg"] = np.ascontiguousarray(np.argmax(seg, axis=-1), np.int64)
         return out
 
 

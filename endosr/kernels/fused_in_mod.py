@@ -71,9 +71,14 @@ def _pallas_call(x, gamma, beta, eps: float = 1e-5, interpret: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = x.shape
-    # pick an H tile keeping the block ≲ 2 MB
+    # γ/β in x's dtype: the jnp path also modulates in the compute dtype
+    gamma = gamma.astype(x.dtype)
+    beta = beta.astype(x.dtype)
+    # pick an H tile keeping each block ≲ 256 KB (4 operands, double-buffered,
+    # inside the 16 MB VMEM budget)
+    itemsize = jnp.dtype(x.dtype).itemsize
     th = h
-    while th > 8 and th * w * c * 4 > 2 * 1024 * 1024:
+    while th > 8 and th * w * c * itemsize > 256 * 1024:
         th //= 2
     while h % th:
         th //= 2

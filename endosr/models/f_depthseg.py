@@ -170,8 +170,9 @@ class FModelDepthSeg(FModelDepthCond):
 
     def feed_data(self, data):
         super().feed_data(data)
-        if "SegLabel" in data:
-            self.batch["SegLabel"] = np.asarray(data["SegLabel"], np.float32)
+        seg = data.get("SegLabel", data.get("Seg_onehot"))
+        if seg is not None:
+            self.batch["SegLabel"] = np.asarray(seg, np.float32)
 
     def save(self, iter_label):
         super().save(iter_label)

@@ -66,6 +66,37 @@ def test_depthnet_forward_matches_reference(reference_path, scale):
 
 
 @requires_reference
+def test_depthnet_post_upsample_depth_blocks(reference_path):
+    # which_ResBlk_depth covering nb-2/nb-1 puts SEAN blocks AFTER the
+    # upscales: masks get nearest-resized and the 32-ch path is exercised
+    from models.modules.sftmd_arch import DepthNet as TorchDepthNet
+
+    which = [0, 1, 13, 14, 15]
+    torch.manual_seed(7)
+    tnet = TorchDepthNet(
+        which_ResBlk_depth=which, scale=8, depth_latent_ch=32,
+        depthRangeNum=10, norm_type="weight_norm",
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    jnet = DepthNet(which_resblk_depth=tuple(which), scale=8,
+                    depth_latent_ch=32)
+    lq, depth, masks = _make_inputs(h=8, w=8)
+    import jax
+
+    params = jnet.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
+    params = port_state_dict(sd, params)
+    got = np.asarray(jnet.apply({"params": params}, lq, depth, masks))
+    with torch.no_grad():
+        want = tnet(
+            torch.from_numpy(lq).permute(0, 3, 1, 2),
+            torch.from_numpy(depth).permute(0, 3, 1, 2),
+            torch.from_numpy(masks).permute(0, 3, 1, 2),
+        ).permute(0, 2, 3, 1).numpy()
+    assert got.shape == want.shape == (1, 64, 64, 3)
+    assert np.max(np.abs(got - want)) < 3e-4
+
+
+@requires_reference
 def test_depthnet_baseline_and_trainable_off(reference_path):
     # baseline (no depth blocks) + fixed alpha path
     from models.modules.sftmd_arch import DepthNet as TorchDepthNet
