@@ -144,10 +144,30 @@ class SEAN(nn.Module):
                         name="mlp_beta_all")(cat)
             return epilogue(gamma, beta)
 
-        beta_o = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                      name="mlp_beta_o")(actv)
-        gamma_o = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="mlp_gamma_o")(actv)
+        # one full-width conv for both modulation heads: 2C=128 output lanes
+        # instead of two half-width convs (params identical to the reference's
+        # separate mlp_gamma_o/mlp_beta_o convs)
+        w_bo = self.param("mlp_beta_o",
+                          _ConvParams(nhidden * 9, (3, 3, nhidden, c),
+                                      self.param_dtype))
+        w_go = self.param("mlp_gamma_o",
+                          _ConvParams(nhidden * 9, (3, 3, nhidden, c),
+                                      self.param_dtype))
+        import jax as _jax
+
+        w_ob = jnp.concatenate(
+            [w_go["kernel"].astype(self.dtype), w_bo["kernel"].astype(self.dtype)],
+            axis=-1,
+        )
+        b_ob = jnp.concatenate(
+            [w_go["bias"].astype(self.dtype), w_bo["bias"].astype(self.dtype)]
+        )
+        ob = _jax.lax.conv_general_dilated(
+            actv.astype(self.dtype), w_ob, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_ob
+        gamma_o = ob[..., :c]
+        beta_o = ob[..., c:]
 
         if not self.inject_st:
             return epilogue(gamma_o, beta_o)
