@@ -29,6 +29,9 @@ REFERENCE_FPS_ESTIMATE = 15.0
 
 
 def main():
+    from endosr.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ import numpy as np
 import optax
 
 from endosr.depth.layers import ssim_monodepth
-from endosr.losses.basic import l1_loss, pixel_loss
+from endosr.losses.basic import l1_loss
 from endosr.models.base import TrainState
 from endosr.models.common import SimpleModel
 

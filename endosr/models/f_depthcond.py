@@ -16,7 +16,6 @@ optimizer_G (``F_model_depthCond.py:94-98``).
 
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax

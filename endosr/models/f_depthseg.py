@@ -23,7 +23,7 @@ from endosr.models.f_depthcond import FModelDepthCond
 from endosr.models.base import TrainState
 from endosr.models.lr_schedule import step_lr
 from endosr.nn import networks
-from endosr.parallel.mesh import replicate, shard_batch
+from endosr.parallel.mesh import replicate
 
 __all__ = ["FModelDepthSeg", "jaccard_loss"]
 

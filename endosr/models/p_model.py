@@ -7,12 +7,9 @@ non-dict signature at ``P_model.py:105-110``) or a dict with 'LQ' and
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
-from endosr.models.base import TrainState
 from endosr.models.common import SimpleModel
 
 __all__ = ["PModel"]

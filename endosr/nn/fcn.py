@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from endosr.nn.layers import Conv, torch_conv_init, _pair
+from endosr.nn.layers import Conv, torch_conv_init
 from endosr.nn.vgg import VGG_CFGS
 
 __all__ = ["VGGBackbone", "FCN8s", "FCN16s", "FCN32s", "FCNs"]

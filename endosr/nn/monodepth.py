@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from endosr.nn.layers import Conv, torch_conv_init
+from endosr.nn.layers import Conv
 from endosr.ops.resize import interpolate_nearest
 
 __all__ = [

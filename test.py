@@ -24,6 +24,9 @@ def main():
     args = parser.parse_args()
 
     from endosr.config import options as option
+    from endosr.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     opt_F = option.parse(args.opt_F, is_train=False)
 

@@ -32,6 +32,9 @@ def main():
     args = parser.parse_args()
 
     from endosr.config import options as option
+    from endosr.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from endosr.parallel.mesh import is_main_process, maybe_init_distributed
 
     maybe_init_distributed()
