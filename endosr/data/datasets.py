@@ -35,6 +35,27 @@ class _Base:
     def __init__(self, opt):
         self.opt = opt
         self.rng = random.Random()
+        # optional host-RAM cache of decoded images/arrays — on a 1-CPU host
+        # PNG decode dominates step time; enable with `cache_data: true`
+        self._cache = {} if opt.get("cache_data") else None
+
+    def _read_img(self, path):
+        if self._cache is None:
+            return util.read_img(None, path)
+        img = self._cache.get(path)
+        if img is None:
+            img = util.read_img(None, path)
+            self._cache[path] = img
+        return img
+
+    def _load_npy(self, path):
+        if self._cache is None:
+            return np.load(path)
+        arr = self._cache.get(path)
+        if arr is None:
+            arr = np.load(path)
+            self._cache[path] = arr
+        return arr
 
     def __len__(self):
         return len(self.GT_paths)
@@ -96,20 +117,20 @@ class LQGTKerDepthDataset(_Base):
         scale = opt["scale"]
 
         GT_path = self.GT_paths[index]
-        img_GT = util.read_img(None, GT_path)
+        img_GT = self._read_img(GT_path)
         if not self._is_train():
             img_GT = modcrop(img_GT, scale)
 
         if self.LR_paths:
             LR_path = self.LR_paths[index]
-            img_LR = util.read_img(None, LR_path)
+            img_LR = self._read_img(LR_path)
         else:
             LR_path = GT_path
             img_LR = imresize_np(img_GT, 1 / scale, True)
             if img_LR.ndim == 2:
                 img_LR = np.expand_dims(img_LR, axis=2)
 
-        depth_map = np.load(self.Depth_paths[index])
+        depth_map = self._load_npy(self.Depth_paths[index])
         depth_map = np.squeeze(depth_map, axis=1)[0]  # [1,1,H,W] → HW
         mask_list = depth_masks_np(
             depth_map, opt.get("depthFixedRange", True), opt.get("depthMaskNum", 10)
@@ -184,15 +205,15 @@ class EndoSceneDepthDataset(_Base):
     def __getitem__(self, index):
         opt = self.opt
         scale = opt["scale"]
-        img_GT = util.read_img(None, self.GT_paths[index])
+        img_GT = self._read_img(self.GT_paths[index])
         if not self._is_train():
             img_GT = modcrop(img_GT, scale)
         if self.LR_paths:
-            img_LR = util.read_img(None, self.LR_paths[index])
+            img_LR = self._read_img(self.LR_paths[index])
         else:
             img_LR = imresize_np(img_GT, 1 / scale, True)
 
-        depth_map = np.load(self.Depth_paths[index])
+        depth_map = self._load_npy(self.Depth_paths[index])
         depth_map = np.squeeze(depth_map, axis=1)[0]
         mask_list = depth_masks_np(
             depth_map, opt.get("depthFixedRange", True), opt.get("depthMaskNum", 10)
@@ -282,12 +303,12 @@ class LQGTKerDataset(_Base):
         opt = self.opt
         scale = opt["scale"]
         GT_path = self.GT_paths[index]
-        img_GT = util.read_img(None, GT_path)
+        img_GT = self._read_img(GT_path)
         if not self._is_train():
             img_GT = modcrop(img_GT, scale)
         if self.LR_paths:
             LR_path = self.LR_paths[index]
-            img_LR = util.read_img(None, LR_path)
+            img_LR = self._read_img(LR_path)
         else:
             LR_path = GT_path
             img_LR = imresize_np(img_GT, 1 / scale, True)
@@ -317,7 +338,7 @@ class LQDataset(_Base):
 
     def __getitem__(self, index):
         LR_path = self.LR_paths[index]
-        img_LR = util.read_img(None, LR_path)
+        img_LR = self._read_img(LR_path)
         if img_LR.shape[2] == 3:
             img_LR = img_LR[:, :, ::-1]
         return {"LQ": np.ascontiguousarray(img_LR, np.float32), "LQ_path": LR_path}
@@ -421,7 +442,7 @@ class LRHRSegBGDataset(_Base):
         LR_path = None
         if self.LR_paths and not use_bg:
             LR_path = self.LR_paths[index]
-            img_LR = util.read_img(None, LR_path)
+            img_LR = self._read_img(LR_path)
         else:
             if self._is_train():
                 rs = self.rng.choice(self.random_scale_list)

@@ -273,12 +273,45 @@ class Trainer:
             self.variables, nets, inputs, self._loss_opt(), rng, train=False)
         return outputs, losses
 
+    def _writer(self):
+        if not hasattr(self, "_tb"):
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(self.log_path, "train"))
+            except ImportError:
+                self._tb = None
+        return self._tb
+
+    def log_scalars(self, mode: str, losses) -> None:
+        """TB scalar logging (``trainer.py:495-527``)."""
+        tb = self._writer()
+        if tb is None:
+            return
+        for k, v in losses.items():
+            tb.add_scalar(f"{mode}/{k}", float(v), self.step)
+
+    def val(self):
+        """Single-minibatch validation (``trainer.py:304-323``)."""
+        if self.val_dataset is None or len(self.val_dataset) == 0:
+            return None
+        bs = min(self.opt.batch_size, len(self.val_dataset))
+        items = [self.val_dataset[i] for i in range(bs)]
+        inputs = {k: jnp.asarray(np.stack([it[k] for it in items]))
+                  for k in items[0] if k != "depth_gt"}
+        _, losses = self.process_batch(inputs)
+        losses = jax.device_get(losses)
+        self.log_scalars("val", {k: v for k, v in losses.items()
+                                 if np.ndim(v) == 0})
+        return losses
+
     def train(self):
         """Full epoch-loop training (``trainer.py:180-216``)."""
         assert self.dataset is not None, "construct Trainer with a dataset"
         self.start_time = time.time()
         for self.epoch in range(self.opt.num_epochs):
             self.run_epoch()
+            self.val()
             if (self.epoch + 1) % self.opt.save_frequency == 0:
                 self.save_model()
 
@@ -301,8 +334,10 @@ class Trainer:
                 params, self.opt_state, inputs, rng)
             self.step += 1
             if self.step % self.opt.log_frequency == 0:
-                loss = float(jax.device_get(losses["loss"]))
+                host_losses = jax.device_get(losses)
+                loss = float(host_losses["loss"])
                 print(f"epoch {self.epoch} | step {self.step} | loss {loss:.4f}")
+                self.log_scalars("train", host_losses)
         for k in self.variables:
             self.variables[k]["params"] = params[k]
 

@@ -15,6 +15,12 @@ tensors stay in their storage dtype.
 
 The public wrapper falls back to plain jnp off-TPU (and under grad — the
 kernel is forward-only; training uses the jnp path so autodiff applies).
+
+Measured on v5e at the flagship shapes ([8,128,128,64] bf16): 0.34 ms vs
+0.21 ms for XLA's own fusion of the jnp path — XLA wins here, so the kernel
+stays opt-in (``fused_epilogue`` flags default False). It remains the
+harness for shapes where XLA's reduction fusion breaks down (larger C, fp32
+1024² activations).
 """
 
 from __future__ import annotations

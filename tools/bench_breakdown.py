@@ -47,7 +47,7 @@ def main():
 
     global_dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
-    B = 1
+    B = 8
 
     def arr(*shape):
         return jnp.asarray(rng.random(shape, dtype=np.float32), global_dtype)
