@@ -135,3 +135,18 @@ def build_schedule(train_opt: dict):
         sched = multistep(lr, train_opt.get("lr_steps", ()) or (),
                           float(train_opt.get("lr_gamma", 0.1) or 0.1))
     return with_warmup(sched, lr, int(train_opt.get("warmup_iter") or -1))
+
+
+if __name__ == "__main__":
+    # console twin of the reference's plotting harness
+    # (``lr_scheduler.py:65-142``): print the flagship schedule's shape
+    sched = build_schedule({
+        "lr_G": 1e-3, "lr_scheme": "CosineAnnealingLR_Restart",
+        "T_period": [20000, 20000, 20000, 20000],
+        "restarts": [20000, 40000, 60000], "restart_weights": [1, 1, 1],
+        "eta_min": 1e-7, "warmup_iter": -1,
+    })
+    for t in range(0, 80001, 4000):
+        lr = float(sched(t))
+        bar = "#" * int(lr / 1e-3 * 60)
+        print(f"{t:7d} {lr:.3e} {bar}")

@@ -49,17 +49,22 @@ def _style_modulation(mod: nn.Module, st_mixed, depth_mask, c, dtype,
     w_cat = jnp.concatenate(
         [w_g["kernel"].astype(dtype), w_b["kernel"].astype(dtype)], axis=-1
     )  # [3,3,L,2C]
-    # per-sample, per-bin kernels: [3,3,K,B,2C]
-    v = jnp.einsum("bkl,xylc->xykbc", st_mixed, w_cat)
-    v = v.reshape(3, 3, k, b * 2 * c)
+    # per-sample, per-bin, per-tap weights [B, 9·K, 2C] (τ-major then k —
+    # must match the shifted-mask channel order below)
+    v = jnp.einsum("bkl,xylc->bxykc", st_mixed, w_cat)
+    v = v.reshape(b, 9 * k, 2 * c)
 
-    x = depth_mask.astype(dtype).transpose(1, 2, 0, 3).reshape(1, h, w, b * k)
-    y = jax.lax.conv_general_dilated(
-        x, v, (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=b,
-    )
-    y = y.reshape(h, w, b, 2 * c).transpose(2, 0, 1, 3)
+    # 9 shifted copies of the K-channel binary mask stack: a batched matmul
+    # with K≈90 contraction replaces a feature_group conv whose 10-channel
+    # groups waste >90% of the MXU lanes. XLA CSEs this shift stack across
+    # all SEAN instances (identical subgraph on the same mask input).
+    m = depth_mask.astype(dtype)
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    shifted = jnp.concatenate(
+        [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # [B, H, W, 9K]
+    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
     gamma_s = y[..., :c] + w_g["bias"].astype(dtype)
     beta_s = y[..., c:] + w_b["bias"].astype(dtype)
     return gamma_s, beta_s

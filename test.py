@@ -79,7 +79,8 @@ def main():
                 sr_img = util.tensor2img(visuals["SR"])  # HWC BGR uint8
 
                 img_name = osp.splitext(osp.basename(data["LQ_path"][0]))[0]
-                save_path = osp.join(dataset_dir, img_name + ".png")
+                suffix = opt_F.get("suffix") or ""
+                save_path = osp.join(dataset_dir, img_name + suffix + ".png")
                 util.save_img(sr_img, save_path)
 
                 line = [img_name]
