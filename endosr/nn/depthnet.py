@@ -35,8 +35,8 @@ from endosr.nn.layers import (
     leaky_relu,
     pixel_shuffle,
 )
-from endosr.nn.sean import SEAN
-from endosr.ops.resize import interpolate_bilinear
+from endosr.nn.sean import SEAN, hoisted_o_branch
+from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
 __all__ = ["DepthNet", "Encoder", "region_wise_avg_pooling",
            "DepthResidualBlock", "ClassicResidualBlock"]
@@ -124,8 +124,7 @@ class DepthResidualBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, depth_map, depth_mask, depth_vec):
+    def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         sean_kw = dict(
             label_nc=self.depth_range_num,
@@ -139,11 +138,25 @@ class DepthResidualBlock(nn.Module):
             fused_epilogue=self.fused_epilogue,
             **kw,
         )
-        h = instance_norm(Conv(self.nf, 3, 1, 1, name="conv1_0", **kw)(x))
-        h = SEAN(name="norm1", **sean_kw)(h, depth_map, depth_mask, depth_vec)
+        self.conv1_0 = Conv(self.nf, 3, 1, 1, **kw)
+        self.norm1 = SEAN(**sean_kw)
+        self.conv2_0 = Conv(self.nf, 3, 1, 1, **kw)
+        self.norm2 = SEAN(**sean_kw)
+
+    def depth_branch_weights(self):
+        """Both SEANs' hoistable depth-map-branch weights (see sean.py)."""
+        return [self.norm1.depth_branch_weights(),
+                self.norm2.depth_branch_weights()]
+
+    def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None):
+        """``ob``: optional ((γ_o,β_o), (γ_o,β_o)) precomputed for the two SEANs."""
+        h = instance_norm(self.conv1_0(x))
+        h = self.norm1(h, depth_map, depth_mask, depth_vec,
+                       ob=None if ob is None else ob[0])
         h = nn.relu(h)
-        h = instance_norm(Conv(self.nf, 3, 1, 1, name="conv2_0", **kw)(h))
-        h = SEAN(name="norm2", **sean_kw)(h, depth_map, depth_mask, depth_vec)
+        h = instance_norm(self.conv2_0(h))
+        h = self.norm2(h, depth_map, depth_mask, depth_vec,
+                       ob=None if ob is None else ob[1])
         return nn.relu(x + h)
 
 
@@ -213,9 +226,10 @@ class DepthNet(nn.Module):
         def block_ch(i: int) -> int:
             return 32 if i > nb - num_last_block else self.nf
 
-        def run_block(i: int, feat):
+        blocks = {}
+        for i in [*range(nb - 3), nb - 2, nb - 1]:
             if i in which:
-                return DepthResidualBlock(
+                blocks[i] = DepthResidualBlock(
                     nf=block_ch(i),
                     depth_latent_ch=self.depth_latent_ch,
                     depth_range_num=self.depth_range_num,
@@ -226,10 +240,34 @@ class DepthNet(nn.Module):
                     ablate_depth_block=self.ablate_depth_block,
                     fused_epilogue=self.fused_epilogue,
                     name=f"depth_residual{i + 1}", **kw,
-                )(feat, depth_map, depth_mask, depth_vec)
-            return ClassicResidualBlock(
-                nf=block_ch(i), name=f"classic_residual{i + 1}", **kw
-            )(feat)
+                )
+            else:
+                blocks[i] = ClassicResidualBlock(
+                    nf=block_ch(i), name=f"classic_residual{i + 1}", **kw
+                )
+
+        # Hoist the loop-invariant SEAN depth-map branch: all trunk depth
+        # blocks run at the input resolution on the identical depth_map, so
+        # their 2N per-instance conv pairs collapse into one wide conv + one
+        # grouped conv evaluated once per forward (see sean.hoisted_o_branch;
+        # reference math batched: ``normalization.py:37-42,61,73-74``).
+        trunk_depth = [i for i in range(nb - 3) if i in which]
+        ob_map: dict[int, tuple] = {}
+        if trunk_depth and not self.ablate_depth_block:
+            size = (feat_downscaled.shape[1], feat_downscaled.shape[2])
+            dmap = interpolate_nearest(depth_map, size)
+            weights = []
+            for i in trunk_depth:
+                weights.extend(blocks[i].depth_branch_weights())
+            obs = hoisted_o_branch(weights, dmap, self.dtype)
+            for idx, i in enumerate(trunk_depth):
+                ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
+
+        def run_block(i: int, feat):
+            if i in which:
+                return blocks[i](feat, depth_map, depth_mask, depth_vec,
+                                 ob=ob_map.get(i))
+            return blocks[i](feat)
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)
         for i in range(nb - 3):

@@ -11,6 +11,16 @@ norm (fp32 stats) modulated by two sources, blended by trainable scalars —
       matmul dance; here it is a single einsum
       ``style[b,h,w,l] = Σ_k st'[b,k,l]·mask[b,h,w,k]`` → one MXU matmul.
 
+The depth-map branch (o) takes the identical ``depth_map`` input in every
+SEAN instance, and in the flagship ×8 config all 26 trunk instances run at
+the same resolution — so :class:`~endosr.nn.depthnet.DepthNet` hoists it out
+of the block loop: each instance's branch weights are exposed through
+:meth:`SEAN.depth_branch_weights`, stacked, and evaluated once per forward
+as one wide conv + one grouped conv (see ``hoisted_o_branch``). The math is
+identical (same parameters, same per-instance convolutions — only batched);
+``__call__`` accepts the precomputed ``ob=(γ_o, β_o)`` and skips its own
+branch. Reference math being batched: ``normalization.py:37-42,61,73-74``.
+
 Layout is NHWC; the style matrix is [B, K, L] (K depth bins, L latent).
 """
 
@@ -18,56 +28,14 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from endosr.nn.layers import Conv, ConvTranspose, instance_norm, torch_conv_init
 from endosr.ops.resize import interpolate_nearest
 
-__all__ = ["SEAN"]
-
-
-def _style_modulation(mod: nn.Module, st_mixed, depth_mask, c, dtype,
-                      param_dtype):
-    """γ_s, β_s from the factored style-map convolution (see SEAN.__call__).
-
-    Parameters are registered under the same names/layout as the direct
-    ``mlp_gamma_s``/``mlp_beta_s`` convs, so ported torch checkpoints load
-    unchanged.
-    """
-    import jax
-
-    l = st_mixed.shape[-1]
-    b = st_mixed.shape[0]
-    k = depth_mask.shape[-1]
-    h, w = depth_mask.shape[1], depth_mask.shape[2]
-    fan_in = l * 9
-
-    w_g = mod.param("mlp_gamma_s", _ConvParams(fan_in, (3, 3, l, c), param_dtype))
-    w_b = mod.param("mlp_beta_s", _ConvParams(fan_in, (3, 3, l, c), param_dtype))
-
-    w_cat = jnp.concatenate(
-        [w_g["kernel"].astype(dtype), w_b["kernel"].astype(dtype)], axis=-1
-    )  # [3,3,L,2C]
-    # per-sample, per-bin, per-tap weights [B, 9·K, 2C] (τ-major then k —
-    # must match the shifted-mask channel order below)
-    v = jnp.einsum("bkl,xylc->bxykc", st_mixed, w_cat)
-    v = v.reshape(b, 9 * k, 2 * c)
-
-    # 9 shifted copies of the K-channel binary mask stack: a batched matmul
-    # with K≈90 contraction replaces a feature_group conv whose 10-channel
-    # groups waste >90% of the MXU lanes. XLA CSEs this shift stack across
-    # all SEAN instances (identical subgraph on the same mask input).
-    m = depth_mask.astype(dtype)
-    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    shifted = jnp.concatenate(
-        [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
-        axis=-1,
-    )  # [B, H, W, 9K]
-    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
-    gamma_s = y[..., :c] + w_g["bias"].astype(dtype)
-    beta_s = y[..., c:] + w_b["bias"].astype(dtype)
-    return gamma_s, beta_s
+__all__ = ["SEAN", "hoisted_o_branch"]
 
 
 class _ConvParams:
@@ -80,14 +48,58 @@ class _ConvParams:
         self.param_dtype = param_dtype
 
     def __call__(self, rng):
-        import jax
-
         k1, k2 = jax.random.split(rng)
         init = torch_conv_init(self.fan_in)
         return {
             "kernel": init(k1, self.shape, self.param_dtype),
             "bias": init(k2, (self.shape[-1],), self.param_dtype),
         }
+
+
+def hoisted_o_branch(weights, depth_map, dtype):
+    """Evaluate many SEAN depth-map branches in one pass.
+
+    ``weights``: list of ``(w_mask{kernel,bias}, w_ob, b_ob)`` per SEAN
+    instance (all with the same channel count C), as returned by
+    :meth:`SEAN.depth_branch_weights`. ``depth_map``: [B,h,w,1] already at
+    the shared feature resolution.
+
+    Returns a list of ``(γ_o, β_o)`` per instance. Equivalent to each
+    instance running ``relu(conv1(d))`` then its fused γ‖β conv, but batched:
+    one 1→N·2C conv followed by one N-group 2C→2C conv — two large MXU ops
+    instead of 2N medium ones, with the N·relu intermediates never re-read
+    from HBM separately.
+    """
+    n = len(weights)
+    if n == 0:
+        return []
+    c2 = weights[0][1].shape[-1]  # 2C per instance
+    d = depth_map.astype(dtype)
+
+    w_mask = jnp.concatenate([w["kernel"].astype(dtype) for (w, _, _) in weights],
+                             axis=-1)  # [3,3,1,N·2C]
+    b_mask = jnp.concatenate([w["bias"].astype(dtype) for (w, _, _) in weights])
+    actv = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            d, w_mask, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_mask
+    )  # [B,h,w,N·2C]
+
+    w_ob = jnp.concatenate([w.astype(dtype) for (_, w, _) in weights], axis=-1)
+    b_ob = jnp.concatenate([b.astype(dtype) for (_, _, b) in weights])
+    ob = jax.lax.conv_general_dilated(
+        actv, w_ob, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=n,
+    ) + b_ob  # [B,h,w,N·2C], instance-major
+
+    c = c2 // 2
+    out = []
+    for i in range(n):
+        sl = ob[..., i * c2:(i + 1) * c2]
+        out.append((sl[..., :c], sl[..., c:]))
+    return out
 
 
 class SEAN(nn.Module):
@@ -104,11 +116,77 @@ class SEAN(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, depth_map, depth_mask, st):
-        """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L]."""
+    def setup(self):
         c = self.norm_nc
         nhidden = c * 2
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # mlp_mask_0: registered as a raw {kernel,bias} subtree (identical
+        # tree path/layout to a Conv child) so the parent can stack it.
+        self.w_mask = self.param(
+            "mlp_mask_0", _ConvParams(9, (3, 3, 1, nhidden), self.param_dtype)
+        )
+        if self.ablate_depth_block:
+            self.mlp_depthMatrix = ConvTranspose(self.label_nc, 3, 2, 1, **kw)
+            self.mlp_before_all = Conv(c, 3, 1, 1, **kw)
+            self.mlp_gamma_all = Conv(c, 3, 1, 1, **kw)
+            self.mlp_beta_all = Conv(c, 3, 1, 1, **kw)
+            return
+        # one full-width conv for both modulation heads: 2C output lanes
+        # instead of two half-width convs (params identical to the reference's
+        # separate mlp_gamma_o/mlp_beta_o convs)
+        self.w_bo = self.param(
+            "mlp_beta_o", _ConvParams(nhidden * 9, (3, 3, nhidden, c), self.param_dtype)
+        )
+        self.w_go = self.param(
+            "mlp_gamma_o", _ConvParams(nhidden * 9, (3, 3, nhidden, c), self.param_dtype)
+        )
+        if not self.inject_st:
+            return
+        if self.ablate_depth_matrix:
+            self.mlp_beta_s = Conv(c, 3, 1, 1, **kw)
+            self.mlp_gamma_s = Conv(c, 3, 1, 1, **kw)
+        else:
+            k, l = self.label_nc, self.len_latent
+            self.a_w = self.param(
+                "A_i_j_kernel", torch_conv_init(k), (1, 1, k, k), self.param_dtype
+            )
+            self.a_b = self.param(
+                "A_i_j_bias", torch_conv_init(k), (k,), self.param_dtype
+            )
+            self.w_gs = self.param(
+                "mlp_gamma_s", _ConvParams(l * 9, (3, 3, l, c), self.param_dtype)
+            )
+            self.w_bs = self.param(
+                "mlp_beta_s", _ConvParams(l * 9, (3, 3, l, c), self.param_dtype)
+            )
+        if self.use_trainable_params:
+            # torch init: Parameter(torch.rand(1)) — uniform [0,1)
+            self.alpha_gamma = self.param(
+                "alpha_gamma",
+                lambda rng: jax.random.uniform(rng, (1,), self.param_dtype),
+            )
+            self.alpha_beta = self.param(
+                "alpha_beta",
+                lambda rng: jax.random.uniform(rng, (1,), self.param_dtype),
+            )
+
+    def depth_branch_weights(self):
+        """(w_mask{kernel,bias}, w_ob, b_ob) for :func:`hoisted_o_branch`.
+
+        ``w_ob``/``b_ob`` are the γ‖β-concatenated modulation conv weights
+        (γ first — the order ``__call__`` splits them back in).
+        """
+        w_ob = jnp.concatenate([self.w_go["kernel"], self.w_bo["kernel"]], axis=-1)
+        b_ob = jnp.concatenate([self.w_go["bias"], self.w_bo["bias"]])
+        return self.w_mask, w_ob, b_ob
+
+    def __call__(self, x, depth_map, depth_mask, st, ob=None):
+        """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L].
+
+        ``ob``: optional precomputed (γ_o, β_o) at x's resolution — the
+        hoisted depth-map branch (see module docstring).
+        """
+        c = self.norm_nc
         size = (x.shape[1], x.shape[2])
 
         def epilogue(gamma, beta):
@@ -122,105 +200,62 @@ class SEAN(nn.Module):
                 )
             return instance_norm(x) * (1 + gamma) + beta
 
-        depth_map = interpolate_nearest(depth_map, size).astype(self.dtype)
         depth_mask = interpolate_nearest(depth_mask, size).astype(self.dtype)
 
-        actv = nn.relu(
-            Conv(nhidden, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                 name="mlp_mask_0")(depth_map)
-        )
-
         if self.ablate_depth_block:
+            depth_map = interpolate_nearest(depth_map, size).astype(self.dtype)
+            actv = jax.nn.relu(self._conv(depth_map, self.w_mask))
             # ablation: concatenate a duplicated/downscaled style matrix
             dup = jnp.broadcast_to(
                 st[:, :, :, None], (*st.shape, st.shape[2])
             )  # [B,K,L,L]
             dup = dup.transpose(0, 2, 3, 1)  # NHWC with K channels
-            down = ConvTranspose(self.label_nc, 3, 2, 1, dtype=self.dtype,
-                                 param_dtype=self.param_dtype,
-                                 name="mlp_depthMatrix")(dup)
+            down = self.mlp_depthMatrix(dup)
             down = interpolate_nearest(down, size)
             cat = jnp.concatenate([down, actv], axis=-1)
-            cat = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                       name="mlp_before_all")(cat)
-            gamma = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="mlp_gamma_all")(cat)
-            beta = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="mlp_beta_all")(cat)
-            return epilogue(gamma, beta)
+            cat = self.mlp_before_all(cat)
+            return epilogue(self.mlp_gamma_all(cat), self.mlp_beta_all(cat))
 
-        # one full-width conv for both modulation heads: 2C=128 output lanes
-        # instead of two half-width convs (params identical to the reference's
-        # separate mlp_gamma_o/mlp_beta_o convs)
-        w_bo = self.param("mlp_beta_o",
-                          _ConvParams(nhidden * 9, (3, 3, nhidden, c),
-                                      self.param_dtype))
-        w_go = self.param("mlp_gamma_o",
-                          _ConvParams(nhidden * 9, (3, 3, nhidden, c),
-                                      self.param_dtype))
-        import jax as _jax
-
-        w_ob = jnp.concatenate(
-            [w_go["kernel"].astype(self.dtype), w_bo["kernel"].astype(self.dtype)],
-            axis=-1,
-        )
-        b_ob = jnp.concatenate(
-            [w_go["bias"].astype(self.dtype), w_bo["bias"].astype(self.dtype)]
-        )
-        ob = _jax.lax.conv_general_dilated(
-            actv.astype(self.dtype), w_ob, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b_ob
-        gamma_o = ob[..., :c]
-        beta_o = ob[..., c:]
+        if ob is not None:
+            gamma_o, beta_o = ob
+        else:
+            depth_map = interpolate_nearest(depth_map, size).astype(self.dtype)
+            actv = jax.nn.relu(self._conv(depth_map, self.w_mask))
+            w_ob = jnp.concatenate(
+                [self.w_go["kernel"].astype(self.dtype),
+                 self.w_bo["kernel"].astype(self.dtype)], axis=-1,
+            )
+            b_ob = jnp.concatenate(
+                [self.w_go["bias"].astype(self.dtype),
+                 self.w_bo["bias"].astype(self.dtype)]
+            )
+            y_ob = jax.lax.conv_general_dilated(
+                actv, w_ob, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b_ob
+            gamma_o = y_ob[..., :c]
+            beta_o = y_ob[..., c:]
 
         if not self.inject_st:
             return epilogue(gamma_o, beta_o)
 
         if self.ablate_depth_matrix:
             # st is a spatial latent [B,h,w,L]
-            beta_s = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                          name="mlp_beta_s")(st)
-            gamma_s = Conv(c, 3, 1, 1, dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="mlp_gamma_s")(st)
+            beta_s = self.mlp_beta_s(st)
+            gamma_s = self.mlp_gamma_s(st)
         else:
             # A_i_j: 1×1 conv over the bin axis (torch applies it to the
             # [B,K,L,1] "image"; algebraically a K×K mix of style rows).
-            k = self.label_nc
-            a_w = self.param("A_i_j_kernel", torch_conv_init(k),
-                             (1, 1, k, k), self.param_dtype)
-            a_b = self.param("A_i_j_bias", torch_conv_init(k),
-                             (k,), self.param_dtype)
             st = st.astype(self.dtype)
             st_mixed = (
-                jnp.einsum("jk,bjl->bkl", a_w[0, 0].astype(self.dtype), st)
-                + a_b.astype(self.dtype)[None, :, None]
+                jnp.einsum("jk,bjl->bkl", self.a_w[0, 0].astype(self.dtype), st)
+                + self.a_b.astype(self.dtype)[None, :, None]
             )
-            # The reference broadcasts per-bin styles to a [B,H,W,L] style
-            # map and runs two L→C 3×3 convs over it. The style map is
-            # piecewise-constant over the K binary masks, so
-            #   conv(Σ_k st'_k ⊗ mask_k) = Σ_k (W·st'_k) ⊛ mask_k :
-            # contract the conv weights with the K style vectors first
-            # (tiny matmul), then convolve the K-channel mask stack with the
-            # resulting per-sample kernels — L/K ≈ 25× fewer conv MACs for
-            # the hottest op in the network, bit-identical math (same
-            # parameters; only the summation order changes).
-            gamma_s, beta_s = _style_modulation(
-                self, st_mixed, depth_mask, c, self.dtype, self.param_dtype,
-            )
+            gamma_s, beta_s = self._style_modulation(st_mixed, depth_mask, c)
 
         if self.use_trainable_params:
-            # torch init: Parameter(torch.rand(1)) — uniform [0,1)
-            import jax
-
-            alpha_gamma = self.param(
-                "alpha_gamma", lambda rng: jax.random.uniform(rng, (1,), self.param_dtype)
-            )
-            alpha_beta = self.param(
-                "alpha_beta", lambda rng: jax.random.uniform(rng, (1,), self.param_dtype)
-            )
-            ag = alpha_gamma.astype(self.dtype)
-            ab = alpha_beta.astype(self.dtype)
+            ag = self.alpha_gamma.astype(self.dtype)
+            ab = self.alpha_beta.astype(self.dtype)
         else:
             ag = jnp.asarray(self.norm_gamma, self.dtype)
             ab = jnp.asarray(self.norm_beta, self.dtype)
@@ -228,3 +263,53 @@ class SEAN(nn.Module):
         gamma = ag * gamma_s + (1.0 - ag) * gamma_o
         beta = ab * beta_s + (1.0 - ab) * beta_o
         return epilogue(gamma, beta)
+
+    # ------------------------------------------------------------------
+    def _conv(self, x, w):
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w["kernel"].astype(self.dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + w["bias"].astype(self.dtype)
+
+    def _style_modulation(self, st_mixed, depth_mask, c):
+        """γ_s, β_s from the factored style-map convolution.
+
+        The reference broadcasts per-bin styles to a [B,H,W,L] style map and
+        runs two L→C 3×3 convs over it. The style map is piecewise-constant
+        over the K binary masks, so
+          conv(Σ_k st'_k ⊗ mask_k) = Σ_k (W·st'_k) ⊛ mask_k :
+        contract the conv weights with the K style vectors first (tiny
+        matmul), then convolve the K-channel mask stack with the resulting
+        per-sample kernels — L/K ≈ 25× fewer conv MACs for the hottest op in
+        the network, bit-identical math (same parameters; only the summation
+        order changes).
+        """
+        dtype = self.dtype
+        l = st_mixed.shape[-1]
+        b = st_mixed.shape[0]
+        k = depth_mask.shape[-1]
+        h, w = depth_mask.shape[1], depth_mask.shape[2]
+
+        w_cat = jnp.concatenate(
+            [self.w_gs["kernel"].astype(dtype), self.w_bs["kernel"].astype(dtype)],
+            axis=-1,
+        )  # [3,3,L,2C]
+        # per-sample, per-bin, per-tap weights [B, 9·K, 2C] (τ-major then k —
+        # must match the shifted-mask channel order below)
+        v = jnp.einsum("bkl,xylc->bxykc", st_mixed, w_cat)
+        v = v.reshape(b, 9 * k, 2 * c)
+
+        # 9 shifted copies of the K-channel binary mask stack: a batched matmul
+        # with K≈90 contraction replaces a feature_group conv whose 10-channel
+        # groups waste >90% of the MXU lanes. XLA CSEs this shift stack across
+        # all SEAN instances (identical subgraph on the same mask input).
+        m = depth_mask.astype(dtype)
+        mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        shifted = jnp.concatenate(
+            [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
+            axis=-1,
+        )  # [B, H, W, 9K]
+        y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
+        gamma_s = y[..., :c] + self.w_gs["bias"].astype(dtype)
+        beta_s = y[..., c:] + self.w_bs["bias"].astype(dtype)
+        return gamma_s, beta_s
