@@ -27,16 +27,39 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from endosr.nn.layers import (
     Conv,
     WNConv,
+    WNConvParams,
     WNConvTranspose,
+    compose_pixel_shuffle_perm,
+    fold_kernel_through_pixel_shuffle,
     instance_norm,
     leaky_relu,
     pixel_shuffle,
+    torch_conv_init,
+    wn_effective_kernel,
 )
 from endosr.nn.sean import SEAN, hoisted_o_branch
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
+
+
+def _conv_dt(x, w, b, dtype, pad=None):
+    """SAME-ish conv in compute dtype from an fp32 kernel + bias."""
+    pad = w.shape[0] // 2 if pad is None else pad
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b.astype(dtype)
+
+
+def _fold_wb(w, b, r):
+    """Fold an fp32 (kernel, bias) through a pending pixel_shuffle(r)."""
+    if r == 1:
+        return w, b
+    return fold_kernel_through_pixel_shuffle(w, r), jnp.repeat(b, r * r)
 
 __all__ = ["DepthNet", "Encoder", "region_wise_avg_pooling",
            "DepthResidualBlock", "ClassicResidualBlock"]
@@ -161,17 +184,36 @@ class DepthResidualBlock(nn.Module):
 
 
 class ClassicResidualBlock(nn.Module):
-    """wn-conv → ReLU → wn-conv → +res → ReLU (``sftmd_arch.py:128-151``)."""
+    """wn-conv → ReLU → wn-conv → +res → ReLU (``sftmd_arch.py:128-151``).
+
+    Params are registered as raw weight-norm subtrees (same tree as WNConv
+    children) so :class:`DepthNet` can fold the effective kernels through
+    deferred pixel-shuffles when the block sits between upscale stages.
+    """
 
     nf: int = 64
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.block_0 = self.param(
+            "block_0", WNConvParams(self.nf * 9, (3, 3, self.nf, self.nf),
+                                    self.param_dtype)
+        )
+        self.block_2 = self.param(
+            "block_2", WNConvParams(self.nf * 9, (3, 3, self.nf, self.nf),
+                                    self.param_dtype)
+        )
+
+    def effective_weights(self):
+        """fp32 ((w0, b0), (w2, b2)) effective conv kernels."""
+        return (wn_effective_kernel(self.block_0),
+                wn_effective_kernel(self.block_2))
+
     def __call__(self, x):
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = WNConv(self.nf, 3, 1, 1, name="block_0", **kw)(x)
-        h = WNConv(self.nf, 3, 1, 1, name="block_2", **kw)(nn.relu(h))
+        (w0, b0), (w2, b2) = self.effective_weights()
+        h = _conv_dt(x, w0, b0, self.dtype)
+        h = _conv_dt(nn.relu(h), w2, b2, self.dtype)
         return nn.relu(x + h)
 
 
@@ -193,6 +235,7 @@ class DepthNet(nn.Module):
     ablate_depth_block: bool = False
     fused_epilogue: bool = False  # Pallas IN+modulation epilogue (inference)
     fold_output_conv: bool = True  # run the 9×9 head pre-PixelShuffle (exact)
+    fold_tail: bool = True  # defer upscale2/3 shuffles; tail convs run folded
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -275,7 +318,8 @@ class DepthNet(nn.Module):
 
         feat_add1 = fea_in + fea_bef  # global skip
 
-        # upscale1 (×8 only): 64→256 → PS(2) → 64→32
+        # upscale1 (×8 only): 64→256 → PS(2) → 64→32 — kept at real
+        # resolution (cheap at LR²); the expensive later stages defer theirs.
         if self.scale == 8:
             h = leaky_relu(WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1))
             h = pixel_shuffle(h, 2)
@@ -285,57 +329,101 @@ class DepthNet(nn.Module):
 
         feat_up1 = run_block(nb - 2, feat_up1)
 
-        # upscale2 (≥×4): ch→128 → PS(2) → 32
-        if self.scale >= 4:
-            h = leaky_relu(
-                WNConv(32 * 4, 3, 1, 1, name="upscale2_0", **kw)(feat_up1)
-            )
-            h = pixel_shuffle(h, 2)
-            feat_up2 = leaky_relu(WNConv(32, 3, 1, 1, name="upscale2_3", **kw)(h))
-        else:
-            feat_up2 = feat_up1
+        final_scale = 3 if self.scale == 3 else 2
+        # Deferred-shuffle tail: convs at SR resolution with 32 channels run
+        # the MXU at ≤25% occupancy and the 9×9/3-channel head at <10%, so
+        # every pixel-shuffle from upscale2 on is DEFERRED — each conv's
+        # effective kernel is folded through the pending shuffles
+        # (fold_kernel_through_pixel_shuffle: exact math, canonical layout
+        # kept by compose_pixel_shuffle_perm) and one pixel_shuffle(r) runs at
+        # the very end. Requires the post-upscale2 block to be shuffle-
+        # commuting (classic — no InstanceNorm), which holds for every
+        # shipped config (``which_ResBlk_depth`` never reaches nb-1).
+        fold = (bool(self.fold_tail) and self.fold_output_conv
+                and (self.scale < 4 or (nb - 1) not in which))
 
-        feat_up2 = run_block(nb - 1, feat_up2)
+        r = 1
+        z = feat_up1
+        if self.scale >= 4:
+            cin20 = z.shape[-1]
+            p20 = self.param(
+                "upscale2_0",
+                WNConvParams(cin20 * 9, (3, 3, cin20, 32 * 4), self.param_dtype),
+            )
+            w20, b20 = wn_effective_kernel(p20)
+            z = leaky_relu(_conv_dt(z, w20, b20, self.dtype))
+            if fold:
+                r = 2  # conv output channels are already canonical PS(2) layout
+            else:
+                z = pixel_shuffle(z, 2)
+            p23 = self.param(
+                "upscale2_3", WNConvParams(32 * 9, (3, 3, 32, 32), self.param_dtype)
+            )
+            w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
+            z = leaky_relu(_conv_dt(z, w23, b23, self.dtype))
+            if fold:
+                # classic block nb-1 with both convs folded by r
+                (wb0, bb0), (wb2, bb2) = blocks[nb - 1].effective_weights()
+                wb0, bb0 = _fold_wb(wb0, bb0, r)
+                wb2, bb2 = _fold_wb(wb2, bb2, r)
+                t = nn.relu(_conv_dt(z, wb0, bb0, self.dtype))
+                z = nn.relu(z + _conv_dt(t, wb2, bb2, self.dtype))
+            else:
+                z = run_block(nb - 1, z)
+        else:
+            z = run_block(nb - 1, z)
 
         # upscale3: ch→32·fs² → PS(fs)
-        final_scale = 3 if self.scale == 3 else 2
-        h = WNConv(32 * final_scale ** 2, 3, 1, 1, name="upscale3_0", **kw)(feat_up2)
+        cin30 = z.shape[-1] // (r * r)
+        p30 = self.param(
+            "upscale3_0",
+            WNConvParams(cin30 * 9, (3, 3, cin30, 32 * final_scale ** 2),
+                         self.param_dtype),
+        )
+        w30, b30 = _fold_wb(*wn_effective_kernel(p30), r)
 
-        if self.fold_output_conv:
-            # XLA lowers a 9×9 conv to 3 channels at full SR resolution with
-            # <10% MXU utilization (it was 15 of 21 ms of the ×8 forward);
-            # fold it through the PixelShuffle: LeakyReLU commutes with the
-            # shuffle, and the head becomes a 5×5 conv at 1/fs² positions
-            # with fs²× the channels. Exact math; parameter tree unchanged.
-            fs = final_scale
-            r2 = fs * fs
-            fan_in = 32 * 81
-            import jax
+        def init_head(rng):
+            import jax as _jax
 
-            def init_head(rng):
-                k1, k2 = jax.random.split(rng)
-                from endosr.nn.layers import torch_conv_init
+            k1, k2 = _jax.random.split(rng)
+            init = torch_conv_init(32 * 81)
+            return {
+                "kernel": init(k1, (9, 9, 32, self.out_nc), self.param_dtype),
+                "bias": init(k2, (self.out_nc,), self.param_dtype),
+            }
 
-                init = torch_conv_init(fan_in)
-                return {
-                    "kernel": init(k1, (9, 9, 32, self.out_nc), self.param_dtype),
-                    "bias": init(k2, (self.out_nc,), self.param_dtype),
-                }
-
-            head = self.param("conv_output", init_head)
-            from endosr.nn.layers import fold_kernel_through_pixel_shuffle
-
-            wf = fold_kernel_through_pixel_shuffle(
-                head["kernel"].astype(jnp.float32), fs
-            ).astype(self.dtype)
-            t = wf.shape[0]
-            pre = jax.lax.conv_general_dilated(
-                leaky_relu(h).astype(self.dtype), wf, (1, 1),
-                [(t // 2, t // 2), (t // 2, t // 2)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        if fold:
+            # defer upscale3's shuffle too: permute the conv's folded output
+            # channels into canonical PS(r·fs) layout (zero runtime cost)
+            perm = compose_pixel_shuffle_perm(
+                r, final_scale, 32 * final_scale ** 2 * r * r
             )
-            bias = jnp.repeat(head["bias"].astype(self.dtype), r2)
-            out = pixel_shuffle(pre + bias, fs)
+            z = _conv_dt(z, w30[..., perm], b30[perm], self.dtype)
+            r *= final_scale
+            head = self.param("conv_output", init_head)
+            wh, bh = _fold_wb(
+                head["kernel"].astype(jnp.float32),
+                head["bias"].astype(jnp.float32), r,
+            )
+            pre = _conv_dt(leaky_relu(z), wh, bh, self.dtype)
+            # clip commutes with the shuffle and with the fp32 convert
+            # (0/1 exact in bf16) — clamp the small pre-shuffle tensor
+            out = pixel_shuffle(
+                jnp.clip(pre, self.clamp_min, self.clamp_max), r
+            )
+            return out.astype(jnp.float32)
+
+        h = _conv_dt(z, w30, b30, self.dtype)
+        if self.fold_output_conv:
+            # fold only the head through the final shuffle (the ×8/×4
+            # mid-tail shuffles were already applied for real above)
+            fs = final_scale
+            head = self.param("conv_output", init_head)
+            wh, bh = _fold_wb(
+                head["kernel"].astype(jnp.float32),
+                head["bias"].astype(jnp.float32), fs,
+            )
+            out = pixel_shuffle(_conv_dt(leaky_relu(h), wh, bh, self.dtype), fs)
         else:
             feat_up3 = leaky_relu(pixel_shuffle(h, final_scale))
             out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(feat_up3)

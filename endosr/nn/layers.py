@@ -25,10 +25,14 @@ __all__ = [
     "ConvTranspose",
     "WNConv",
     "WNConvTranspose",
+    "WNConvParams",
+    "wn_effective_kernel",
     "Dense",
     "instance_norm",
     "pixel_shuffle",
     "leaky_relu",
+    "fold_kernel_through_pixel_shuffle",
+    "compose_pixel_shuffle_perm",
 ]
 
 Dtype = Any
@@ -199,6 +203,36 @@ class WNConvTranspose(ConvTranspose):
         return self._apply(x, w, fan_in)
 
 
+class WNConvParams:
+    """Initializer producing a {'v','g','bias'} subtree identical in shape,
+    layout and init distribution to a :class:`WNConv` child module's params —
+    lets a parent register weight-normed conv params directly (so it can fold
+    or stack the effective kernels) without changing the checkpoint tree."""
+
+    def __init__(self, fan_in, shape, param_dtype):
+        self.fan_in = fan_in
+        self.shape = shape
+        self.param_dtype = param_dtype
+
+    def __call__(self, rng):
+        k1, k2 = jax.random.split(rng)
+        init = torch_conv_init(self.fan_in)
+        v = init(k1, self.shape, self.param_dtype)
+        g = jnp.sqrt(
+            jnp.sum(jnp.square(v.astype(jnp.float32)), axis=(0, 1, 2))
+        ).astype(self.param_dtype)
+        return {"v": v, "g": g,
+                "bias": init(k2, (self.shape[-1],), self.param_dtype)}
+
+
+def wn_effective_kernel(p) -> tuple[jax.Array, jax.Array]:
+    """fp32 effective kernel (g·v/‖v‖, torch dim=0) and bias from a
+    {'v','g','bias'} subtree."""
+    v32 = p["v"].astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(jnp.square(v32), axis=(0, 1, 2), keepdims=True))
+    return v32 * (p["g"].astype(jnp.float32) / norm), p["bias"].astype(jnp.float32)
+
+
 class Dense(nn.Module):
     """torch nn.Linear-initialized dense layer."""
 
@@ -268,19 +302,38 @@ def fold_kernel_through_pixel_shuffle(w: jax.Array, r: int) -> jax.Array:
     half = -(-pad // r)  # ceil
     t = 2 * half + 1
 
-    w_new = jnp.zeros((t, t, c_in * r * r, c_out * r * r), w.dtype)
-    for i in range(r):          # output phase rows
-        for j in range(r):      # output phase cols
-            for dy in range(-pad, pad + 1):
-                for dx in range(-pad, pad + 1):
-                    u = (i + dy) // r + half
-                    v = (j + dx) // r + half
-                    p = (i + dy) % r
-                    q = (j + dx) % r
-                    # in-channel c*r²+p*r+q ; out-channel o*r²+i*r+j
-                    w_new = w_new.at[
-                        u, v,
-                        p * r + q::r * r,
-                        i * r + j::r * r,
-                    ].add(w[dy + pad, dx + pad])
-    return w_new
+    # One vectorized scatter over all (phase, tap) combinations — the
+    # index tuples are distinct, so a single .add carries no collisions.
+    i, j, dy, dx = np.meshgrid(
+        np.arange(r), np.arange(r),
+        np.arange(-pad, pad + 1), np.arange(-pad, pad + 1), indexing="ij",
+    )
+    i, j, dy, dx = (a.ravel() for a in (i, j, dy, dx))
+    u = (i + dy) // r + half
+    v = (j + dx) // r + half
+    pq = (i + dy) % r * r + (j + dx) % r
+    ij = i * r + j
+    # layout [t,t,C,r²,O,r²] so the reshape yields c·r²+pq / o·r²+ij
+    w6 = jnp.zeros((t, t, c_in, r * r, c_out, r * r), w.dtype)
+    w6 = w6.at[u, v, :, pq, :, ij].add(w[dy + pad, dx + pad])
+    return w6.reshape(t, t, c_in * r * r, c_out * r * r)
+
+
+def compose_pixel_shuffle_perm(r: int, s: int, channels: int) -> np.ndarray:
+    """Channel permutation turning nested shuffles into one canonical shuffle.
+
+    If ``real = pixel_shuffle(v, r)`` and the network then applies
+    ``pixel_shuffle(·, s)``, the result equals
+    ``pixel_shuffle(v[..., perm], s·r)`` with the permutation returned here
+    (``channels`` = v's channel count, a multiple of (s·r)²). With r == 1 it
+    is the identity.
+    """
+    sr = s * r
+    c_true = channels // (sr * sr)
+    m = np.arange(channels)
+    c = m // (sr * sr)
+    rem = m % (sr * sr)
+    alpha, beta = rem // sr, rem % sr
+    a, p = alpha // s, alpha % s
+    b, q = beta // s, beta % s
+    return ((c * s * s + p * s + q) * r * r + a * r + b).astype(np.int32)
