@@ -42,7 +42,7 @@ from endosr.nn.layers import (
     torch_conv_init,
     wn_effective_kernel,
 )
-from endosr.nn.sean import SEAN, hoisted_o_branch
+from endosr.nn.sean import SEAN, hoisted_o_branch, hoisted_style_branch
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
 
@@ -171,15 +171,22 @@ class DepthResidualBlock(nn.Module):
         return [self.norm1.depth_branch_weights(),
                 self.norm2.depth_branch_weights()]
 
-    def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None):
-        """``ob``: optional ((γ_o,β_o), (γ_o,β_o)) precomputed for the two SEANs."""
+    def style_branch_weights(self):
+        """Both SEANs' hoistable depth-matrix-branch weights (see sean.py)."""
+        return [self.norm1.style_branch_weights(),
+                self.norm2.style_branch_weights()]
+
+    def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None, sb=None):
+        """``ob``/``sb``: optional per-SEAN precomputed modulation pairs."""
         h = instance_norm(self.conv1_0(x))
         h = self.norm1(h, depth_map, depth_mask, depth_vec,
-                       ob=None if ob is None else ob[0])
+                       ob=None if ob is None else ob[0],
+                       sb=None if sb is None else sb[0])
         h = nn.relu(h)
         h = instance_norm(self.conv2_0(h))
         h = self.norm2(h, depth_map, depth_mask, depth_vec,
-                       ob=None if ob is None else ob[1])
+                       ob=None if ob is None else ob[1],
+                       sb=None if sb is None else sb[1])
         return nn.relu(x + h)
 
 
@@ -236,6 +243,7 @@ class DepthNet(nn.Module):
     fused_epilogue: bool = False  # Pallas IN+modulation epilogue (inference)
     fold_output_conv: bool = True  # run the 9×9 head pre-PixelShuffle (exact)
     fold_tail: bool = True  # defer upscale2/3 shuffles; tail convs run folded
+    hoist_style: bool = True  # batch trunk SEAN depth-matrix branches
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -296,6 +304,7 @@ class DepthNet(nn.Module):
         # reference math batched: ``normalization.py:37-42,61,73-74``).
         trunk_depth = [i for i in range(nb - 3) if i in which]
         ob_map: dict[int, tuple] = {}
+        sb_map: dict[int, tuple] = {}
         if trunk_depth and not self.ablate_depth_block:
             size = (feat_downscaled.shape[1], feat_downscaled.shape[2])
             dmap = interpolate_nearest(depth_map, size)
@@ -305,11 +314,21 @@ class DepthNet(nn.Module):
             obs = hoisted_o_branch(weights, dmap, self.dtype)
             for idx, i in enumerate(trunk_depth):
                 ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
+            if self.hoist_style and not self.ablate_depth_matrix:
+                # the depth-matrix branch is equally loop-invariant: one
+                # batched [B,HW,9K]×[B,9K,N·2C] matmul replaces N thin ones
+                dmask = interpolate_nearest(depth_mask, size)
+                sweights = []
+                for i in trunk_depth:
+                    sweights.extend(blocks[i].style_branch_weights())
+                sbs = hoisted_style_branch(sweights, dmask, depth_vec, self.dtype)
+                for idx, i in enumerate(trunk_depth):
+                    sb_map[i] = (sbs[2 * idx], sbs[2 * idx + 1])
 
         def run_block(i: int, feat):
             if i in which:
                 return blocks[i](feat, depth_map, depth_mask, depth_vec,
-                                 ob=ob_map.get(i))
+                                 ob=ob_map.get(i), sb=sb_map.get(i))
             return blocks[i](feat)
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)

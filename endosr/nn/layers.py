@@ -277,7 +277,9 @@ def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
-    return jnp.where(x >= 0, x, x * negative_slope)
+    # max(x, s·x) ≡ leaky-relu for 0 ≤ s < 1; a single VPU max fuses into
+    # neighboring ops more readily than compare+select
+    return jnp.maximum(x, x * negative_slope)
 
 
 def fold_kernel_through_pixel_shuffle(w: jax.Array, r: int) -> jax.Array:

@@ -35,7 +35,8 @@ from flax import linen as nn
 from endosr.nn.layers import Conv, ConvTranspose, instance_norm, torch_conv_init
 from endosr.ops.resize import interpolate_nearest
 
-__all__ = ["SEAN", "hoisted_o_branch"]
+__all__ = ["SEAN", "hoisted_o_branch", "hoisted_style_branch",
+           "shifted_mask_stack"]
 
 
 class _ConvParams:
@@ -99,6 +100,68 @@ def hoisted_o_branch(weights, depth_map, dtype):
     for i in range(n):
         sl = ob[..., i * c2:(i + 1) * c2]
         out.append((sl[..., :c], sl[..., c:]))
+    return out
+
+
+def shifted_mask_stack(depth_mask, dtype):
+    """9 shifted copies of the K-channel mask stack → [B,H,W,9K].
+
+    Channel order is τ-major then k, matching the weight layout produced in
+    ``_style_modulation``/``hoisted_style_branch``.
+    """
+    h, w = depth_mask.shape[1], depth_mask.shape[2]
+    m = depth_mask.astype(dtype)
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )
+
+
+def hoisted_style_branch(weights, depth_mask, st, dtype):
+    """Evaluate many SEAN depth-matrix branches in one batched matmul.
+
+    ``weights``: list of ``(a_w, a_b, w_gs{kernel,bias}, w_bs{kernel,bias})``
+    per SEAN instance (same C), from :meth:`SEAN.style_branch_weights`.
+    ``depth_mask``: [B,H,W,K] at the shared feature resolution; ``st``:
+    [B,K,L] style matrix. Returns a list of (γ_s, β_s) per instance.
+
+    Identical math to each instance's factored style modulation (see
+    ``SEAN._style_modulation``); the N per-instance [B,HW,9K]×[B,9K,2C]
+    matmuls — K≈90 contractions that run the MXU at <20% — become one
+    [B,HW,9K]×[B,9K,N·2C] matmul.
+    """
+    n = len(weights)
+    if n == 0:
+        return []
+    b, k, l = st.shape
+    c = weights[0][2]["kernel"].shape[-1]
+    st = st.astype(dtype)
+
+    a_w = jnp.stack([w[0][0, 0].astype(dtype) for w in weights])    # [N,K,K]
+    a_b = jnp.stack([w[1].astype(dtype) for w in weights])          # [N,K]
+    st_mixed = (
+        jnp.einsum("njk,bjl->nbkl", a_w, st) + a_b[:, None, :, None]
+    )  # [N,B,K,L]
+    w_cat = jnp.stack([
+        jnp.concatenate([w[2]["kernel"].astype(dtype),
+                         w[3]["kernel"].astype(dtype)], axis=-1)
+        for w in weights
+    ])  # [N,3,3,L,2C]
+    v = jnp.einsum("nbkl,nxylc->bxyknc", st_mixed, w_cat)
+    v = v.reshape(b, 9 * k, n * 2 * c)
+
+    shifted = shifted_mask_stack(depth_mask, dtype)
+    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
+
+    # per-instance bias adds fuse into each block's modulation epilogue —
+    # a single monolithic bias add would materialize the full [B,H,W,N·2C]
+    # tensor a second time (measured +2.7 ms at the flagship shape)
+    out = []
+    for i in range(n):
+        sl = y[..., i * 2 * c:(i + 1) * 2 * c]
+        out.append((sl[..., :c] + weights[i][2]["bias"].astype(dtype),
+                    sl[..., c:] + weights[i][3]["bias"].astype(dtype)))
     return out
 
 
@@ -180,11 +243,17 @@ class SEAN(nn.Module):
         b_ob = jnp.concatenate([self.w_go["bias"], self.w_bo["bias"]])
         return self.w_mask, w_ob, b_ob
 
-    def __call__(self, x, depth_map, depth_mask, st, ob=None):
+    def style_branch_weights(self):
+        """(A_i_j kernel, bias, mlp_gamma_s, mlp_beta_s) for
+        :func:`hoisted_style_branch`."""
+        return self.a_w, self.a_b, self.w_gs, self.w_bs
+
+    def __call__(self, x, depth_map, depth_mask, st, ob=None, sb=None):
         """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L].
 
-        ``ob``: optional precomputed (γ_o, β_o) at x's resolution — the
-        hoisted depth-map branch (see module docstring).
+        ``ob``/``sb``: optional precomputed (γ_o, β_o) / (γ_s, β_s) at x's
+        resolution — the hoisted depth-map / depth-matrix branches (see
+        module docstring).
         """
         c = self.norm_nc
         size = (x.shape[1], x.shape[2])
@@ -239,7 +308,9 @@ class SEAN(nn.Module):
         if not self.inject_st:
             return epilogue(gamma_o, beta_o)
 
-        if self.ablate_depth_matrix:
+        if sb is not None:
+            gamma_s, beta_s = sb
+        elif self.ablate_depth_matrix:
             # st is a spatial latent [B,h,w,L]
             beta_s = self.mlp_beta_s(st)
             gamma_s = self.mlp_gamma_s(st)
@@ -303,12 +374,7 @@ class SEAN(nn.Module):
         # with K≈90 contraction replaces a feature_group conv whose 10-channel
         # groups waste >90% of the MXU lanes. XLA CSEs this shift stack across
         # all SEAN instances (identical subgraph on the same mask input).
-        m = depth_mask.astype(dtype)
-        mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        shifted = jnp.concatenate(
-            [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],
-            axis=-1,
-        )  # [B, H, W, 9K]
+        shifted = shifted_mask_stack(depth_mask, dtype)  # [B, H, W, 9K]
         y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
         gamma_s = y[..., :c] + self.w_gs["bias"].astype(dtype)
         beta_s = y[..., c:] + self.w_bs["bias"].astype(dtype)
