@@ -1,10 +1,9 @@
 """Flagship benchmark: frames/sec/chip for DepthNet ×8 inference on Kvasir
-shapes (LR 128×128 → SR 1024×1024, batch 1 — the BASELINE.json north-star
-config).
+shapes (LR 128×128 → SR 1024×1024 — the BASELINE.json north-star config).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Methodology: the attached TPU is reached through a tunnel whose
+Timing methodology: the attached TPU is reached through a tunnel whose
 ``block_until_ready`` does not wait for remote completion, so naive host
 timing is meaningless. Instead N forwards are chained through a scalar data
 dependency (each call's input depends on the previous call's output, forcing
@@ -12,20 +11,44 @@ serial device execution) and a single scalar is fetched at the end; the
 per-frame time is the difference quotient between two chain lengths, which
 cancels the dispatch and fetch constants and measures on-device compute.
 
-``vs_baseline`` divides by 15 fps — our documented estimate of the reference
-PyTorch 1.6 DepthNet's single-GPU (V100-class) throughput at this shape (the
-repo publishes no number, BASELINE.md); the >10× north-star target
-corresponds to vs_baseline ≥ 10.
+Baseline denominator: ``BASELINE_MEASURED.json`` (produced by
+``tools/measure_reference_baseline.py``) — the reference repo publishes no
+numbers (BASELINE.md), so the denominator is a documented V100-class
+estimate anchored by a measured CPU run of the reference torch model:
+V100 fp32 peak × 50% cuDNN efficiency / 0.24 TFLOP per frame ≈ 33 fps.
+The >10× north-star target corresponds to vs_baseline ≥ 10.
+
+Quality certification: the benched precision is bfloat16 (fp32 InstanceNorm
+statistics). Each run also executes one fp32 forward on identical inputs
+and reports PSNR(bf16, fp32); at a ≥45 dB mismatch-PSNR and a ~30 dB
+operating point, the PSNR-vs-GT impact is ≤0.05 dB under independent-error
+accounting (MSE_b ≈ MSE_f + MSE_bf), inside the BASELINE.md budget.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_FPS_ESTIMATE = 15.0
+FALLBACK_REF_FPS = 32.71  # documented estimate (see module docstring)
+
+# bf16 peak TFLOP/s per chip by device kind (for the MFU figure)
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0, "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+    "TPU v5p": 459.0, "TPU v5": 459.0, "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0, "TPU7x": 2307.0,
+}
+
+
+def _ref_fps():
+    p = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return float(json.load(f)["reference_gpu_fps_estimate"])
+    return FALLBACK_REF_FPS
 
 
 def main():
@@ -36,12 +59,6 @@ def main():
     import jax.numpy as jnp
 
     from endosr.nn.depthnet import DepthNet
-
-    net = DepthNet(
-        which_resblk_depth=tuple(range(14)), scale=8,
-        depth_latent_ch=256, depth_range_num=10,
-        dtype=jnp.bfloat16,
-    )
 
     lr = 128
     batch = 8  # serving throughput config; dispatch overhead amortized
@@ -54,7 +71,26 @@ def main():
         masks_np[..., k] = bins == k
     masks = jnp.asarray(masks_np)
 
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=8,
+              depth_latent_ch=256, depth_range_num=10)
+    net = DepthNet(dtype=jnp.bfloat16, **kw)
     params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
+
+    # quality certification of the benched precision (one-off, untimed)
+    net32 = DepthNet(dtype=jnp.float32, **kw)
+    out16 = np.asarray(jax.jit(
+        lambda p, a: net.apply({"params": p}, a, depth, masks))(params, lq))
+    out32 = np.asarray(jax.jit(
+        lambda p, a: net32.apply({"params": p}, a, depth, masks))(params, lq))
+    mse = float(np.mean((out16.astype(np.float64) - out32) ** 2))
+    bf16_psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+
+    fwd = jax.jit(lambda p, a: net.apply({"params": p}, a, depth, masks))
+    compiled = fwd.lower(params, lq).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    device_flops = float(ca.get("flops", 0.0))
 
     @jax.jit
     def step(params, lq, depth, masks, acc):
@@ -77,11 +113,22 @@ def main():
     per_step = (t2 - t1) / (n2 - n1)
     fps = batch / per_step
 
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_TFLOPS.items() if k in kind), None)
+    mfu = (device_flops / per_step / 1e12 / peak) if peak else None
+
+    ref = _ref_fps()
     print(json.dumps({
-        "metric": "frames/sec/chip, DepthNet x8 Kvasir inference (128->1024, bs8)",
+        "metric": "frames/sec/chip, DepthNet x8 Kvasir inference "
+                  "(128->1024, bs8, bf16)",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+        "vs_baseline": round(fps / ref, 3),
+        "baseline_fps": ref,
+        "bf16_vs_fp32_psnr_db": round(bf16_psnr, 2),
+        "device_kind": kind,
+        "device_tflop_per_frame": round(device_flops / batch / 1e12, 4),
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }))
 
 

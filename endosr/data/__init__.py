@@ -70,7 +70,7 @@ class ShardedLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, ratio: int = 1, drop_last: bool = True,
                  num_shards: int = 1, shard_index: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = max(1, batch_size)
         self.shuffle = shuffle
@@ -80,6 +80,7 @@ class ShardedLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -111,6 +112,10 @@ class ShardedLoader:
         nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
 
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess(batches)
+            return
+
         if self.prefetch <= 0:
             for b in batches:
                 yield _stack([self.dataset[int(i)] for i in b])
@@ -139,6 +144,91 @@ class ShardedLoader:
             yield item
 
 
+    def _iter_multiprocess(self, batches):
+        """Fork-based decode workers with in-order delivery.
+
+        Replaces the reference's ``DataLoader(num_workers=…)`` processes
+        (``codes/data/__init__.py:16-22``): each worker owns a task slice,
+        decodes+stacks whole batches, and the parent reorders results while
+        keeping ``prefetch`` batches in flight per worker. Worker
+        augmentation RNGs are reseeded per (seed, epoch, worker) like
+        torch's per-worker seeding.
+        """
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        nw = min(self.num_workers, len(batches)) or 1
+        task_q = ctx.Queue()
+        result_q = ctx.Queue(maxsize=max(2, self.prefetch) * nw)
+
+        for bid, b in enumerate(batches):
+            task_q.put((bid, b))
+        for _ in range(nw):
+            task_q.put(None)
+
+        def worker(wid):
+            self.dataset.rng = __import__("random").Random(
+                (self.seed + self.epoch) * 1000003 + wid)
+            while True:
+                task = task_q.get()
+                if task is None:
+                    result_q.put(None)
+                    return
+                bid, b = task
+                try:
+                    result_q.put((bid, _stack([self.dataset[int(i)] for i in b])))
+                except Exception as e:  # surface to the consumer
+                    result_q.put((bid, e))
+
+        procs = [ctx.Process(target=worker, args=(w,), daemon=True)
+                 for w in range(nw)]
+        for p in procs:
+            p.start()
+        try:
+            pending: dict[int, dict] = {}
+            next_bid, done = 0, 0
+            while done < nw or pending or next_bid < len(batches):
+                if next_bid in pending:
+                    yield pending.pop(next_bid)
+                    next_bid += 1
+                    continue
+                if done == nw and not pending:
+                    break
+                item = result_q.get()
+                if item is None:
+                    done += 1
+                    continue
+                bid, payload = item
+                if isinstance(payload, Exception):
+                    raise payload
+                pending[bid] = payload
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
+
+def prefetch_to_device(iterator, mesh=None, lookahead: int = 2):
+    """Device-side double buffering: device_put upcoming batches with their
+    mesh shardings while the current step runs (the grain/tf.data-style
+    prefetch the reference's DataLoader pipeline lacked)."""
+    import collections
+
+    from endosr.parallel.mesh import shard_batch
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while True:
+            while len(buf) < max(1, lookahead):
+                buf.append(shard_batch(next(it), mesh))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()
+
+
 def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
     """Factory with the reference's signature (``data/__init__.py:7-26``)."""
     phase = dataset_opt["phase"]
@@ -157,6 +247,7 @@ def create_dataloader(dataset, dataset_opt, opt=None, sampler=None):
             shuffle=dataset_opt.get("use_shuffle", True),
             seed=seed, ratio=ratio, drop_last=True,
             num_shards=num_shards, shard_index=shard_index,
+            num_workers=int(dataset_opt.get("n_workers") or 0),
         )
     return ShardedLoader(dataset, 1, shuffle=False, ratio=1, drop_last=False,
                          prefetch=1)

@@ -38,6 +38,21 @@ class _Base:
         # optional host-RAM cache of decoded images/arrays — on a 1-CPU host
         # PNG decode dominates step time; enable with `cache_data: true`
         self._cache = {} if opt.get("cache_data") else None
+        self._envs: dict = {}  # lazily opened LMDB environments per root
+        self.GT_sizes = self.LR_sizes = None
+
+    def _img(self, root, paths, sizes, index):
+        """Read image #index from plain files or an LMDB archive
+        (autodetected via ``data_type``, ``codes/data/util.py:21-84``)."""
+        if self.opt["data_type"] == "lmdb":
+            from endosr.data.lmdb_io import open_lmdb
+
+            env = self._envs.get(root)
+            if env is None:
+                env = self._envs[root] = open_lmdb(root)
+            h, w, c = (int(s) for s in sizes[index].split("_"))
+            return util.read_img(env, paths[index], (h, w, c))
+        return self._read_img(paths[index])
 
     def _read_img(self, path):
         if self._cache is None:
@@ -77,7 +92,10 @@ class LQGTKerDepthDataset(_Base):
         self.LR_paths = util.get_image_paths(opt["data_type"], opt.get("dataroot_LQ"))
         self.GT_paths = util.get_image_paths(opt["data_type"], opt.get("dataroot_GT"))
         if opt["data_type"] == "lmdb":
-            raise NotImplementedError("lmdb archives need the optional lmdb package")
+            # keys + "<h>_<w>_<c>" resolution strings from meta_info.pkl
+            if self.LR_paths is not None:
+                self.LR_paths, self.LR_sizes = self.LR_paths
+            self.GT_paths, self.GT_sizes = self.GT_paths
 
         if self._is_train() and opt.get("data_num"):
             if self.LR_paths:
@@ -117,13 +135,15 @@ class LQGTKerDepthDataset(_Base):
         scale = opt["scale"]
 
         GT_path = self.GT_paths[index]
-        img_GT = self._read_img(GT_path)
+        img_GT = self._img(opt.get("dataroot_GT"), self.GT_paths, self.GT_sizes,
+                           index)
         if not self._is_train():
             img_GT = modcrop(img_GT, scale)
 
         if self.LR_paths:
             LR_path = self.LR_paths[index]
-            img_LR = self._read_img(LR_path)
+            img_LR = self._img(opt.get("dataroot_LQ"), self.LR_paths,
+                               self.LR_sizes, index)
         else:
             LR_path = GT_path
             img_LR = imresize_np(img_GT, 1 / scale, True)

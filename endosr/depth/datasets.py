@@ -74,7 +74,10 @@ class MonoDataset:
         return len(self.filenames)
 
     # subclass hooks ----------------------------------------------------
-    def get_color(self, line: str, frame_offset: int) -> np.ndarray:
+    def get_color(self, line: str, frame_offset: int,
+                  other_side: bool = False) -> np.ndarray:
+        """Load a frame; ``other_side=True`` loads the opposite stereo
+        camera's frame (``mono_dataset.py:156-160``)."""
         raise NotImplementedError
 
     def check_depth(self) -> bool:
@@ -94,7 +97,10 @@ class MonoDataset:
 
         inputs: dict = {}
         for f_i in self.frame_idxs:
-            color = self.get_color(line, f_i)
+            if f_i == "s":
+                color = self.get_color(line, 0, other_side=True)
+            else:
+                color = self.get_color(line, f_i)
             if do_flip:
                 color = color[:, ::-1].copy()
             for s in range(self.num_scales):
@@ -121,6 +127,17 @@ class MonoDataset:
                 if do_flip:
                     depth = depth[:, ::-1].copy()
                 inputs["depth_gt"] = depth[..., None].astype(np.float32)
+
+        if "s" in self.frame_idxs:
+            # fixed rig extrinsic, baseline 0.1 with side/flip signs
+            # (``mono_dataset.py:193-198``)
+            parts = line.split()
+            side = parts[2] if len(parts) == 3 else "l"
+            stereo_t = np.eye(4, dtype=np.float32)
+            baseline_sign = -1 if do_flip else 1
+            side_sign = -1 if side == "l" else 1
+            stereo_t[0, 3] = side_sign * baseline_sign * 0.1
+            inputs["stereo_T"] = stereo_t
         return inputs
 
 
@@ -131,7 +148,15 @@ class EndovisDataset(MonoDataset):
                   [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
     full_res_shape = (384, 192)
 
-    def _frame_path(self, folder: str, frame: int) -> str:
+    side_map = {"1": 1, "2": 2, "l": 1, "r": 2}
+
+    def _frame_path(self, folder: str, frame: int, side=None) -> str:
+        if side is not None:
+            # stereo layout: <folder>/image0{1,2}/<frame>
+            # (``endovis_dataset.py:68-75``)
+            return os.path.join(self.data_path, folder,
+                                f"image0{self.side_map[side]}",
+                                f"{frame:010d}{self.img_ext}")
         return os.path.join(self.data_path, folder,
                             f"{frame:010d}{self.img_ext}")
 
@@ -147,13 +172,18 @@ class EndovisDataset(MonoDataset):
         top = (h - new_h) // 2
         return img[top:top + new_h]
 
-    def get_color(self, line: str, frame_offset: int) -> np.ndarray:
+    def get_color(self, line: str, frame_offset: int,
+                  other_side: bool = False) -> np.ndarray:
         import cv2
 
         parts = line.split()
         folder = parts[0]
         frame = int(parts[1]) + frame_offset
-        p = self._frame_path(folder, frame)
+        side = parts[2] if len(parts) == 3 else None
+        if other_side:
+            assert side in ("l", "r"), "stereo frames need an l/r side token"
+            side = {"l": "r", "r": "l"}[side]
+        p = self._frame_path(folder, frame, side)
         img = cv2.imread(p, cv2.IMREAD_COLOR)
         if img is None:
             raise FileNotFoundError(p)

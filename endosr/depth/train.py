@@ -34,13 +34,18 @@ def build_dataset(opts, is_train=True):
         filenames = [str(i) for i in idxs if i + lo >= idxs[0] and i + hi <= idxs[-1]]
 
     cls = EndovisDataset if opts.dataset in ("endovis", "colondepth") else None
-    if cls is None:
-        if opts.dataset.startswith("kitti"):
-            raise NotImplementedError(
-                "KITTI loaders are out of scope for the endoscopy build; "
-                "use --dataset endovis or a sequence folder")
+    if cls is None and opts.dataset.startswith("kitti"):
+        from endosr.depth.kitti import (
+            KITTIDepthDataset,
+            KITTIOdomDataset,
+            KITTIRAWDataset,
+        )
+
+        cls = {"kitti": KITTIRAWDataset, "kitti_odom": KITTIOdomDataset,
+               "kitti_depth": KITTIDepthDataset}[opts.dataset]
+    elif cls is None:
         cls = SequenceFolderDataset
-    if not os.path.exists(split_file):
+    if not os.path.exists(split_file) and not opts.dataset.startswith("kitti"):
         cls = SequenceFolderDataset
     ext = ".png" if opts.png else ".jpg"
     return cls(opts.data_path, filenames, opts.height, opts.width,

@@ -13,8 +13,10 @@ functions here; the tie-break noise uses an explicit PRNG key.
 
 Supported config (the endovis defaults): monocular frame_ids [0,-1,1],
 ``separate_resnet`` or ``posecnn`` pose, automasking on/off, avg/min
-reprojection, SSIM on/off, v1_multiscale on/off. Stereo ('s') frames are
-not implemented.
+reprojection, SSIM on/off, v1_multiscale on/off, and stereo training
+(``use_stereo`` appends the 's' frame whose camera transform comes from the
+dataset's ``stereo_T``; stereo-only [0,'s'] runs without pose networks —
+``trainer.py:49-52,296-302``).
 """
 
 from __future__ import annotations
@@ -45,6 +47,29 @@ from endosr.utils.checkpoint import load_pytree, save_pytree
 __all__ = ["Trainer", "monodepth_loss"]
 
 
+def _enc_key(k):
+    """Reference-style tuple keys → strings: jit pytree dict keys must be
+    sortable, and stereo mixes int and 's' frame ids inside the tuples."""
+    return k if isinstance(k, str) else "|".join(str(x) for x in k)
+
+
+class _Inputs:
+    """Tuple-key view over a string-keyed inputs dict."""
+
+    def __init__(self, d):
+        self._d = d
+
+    def __getitem__(self, k):
+        return self._d[_enc_key(k)]
+
+    def __contains__(self, k):
+        return _enc_key(k) in self._d
+
+
+def encode_inputs(inputs: dict) -> dict:
+    return {_enc_key(k): v for k, v in inputs.items()}
+
+
 def monodepth_loss(variables, nets, inputs, opt, rng, train: bool = True):
     """Compute outputs + losses for one batch (pure function).
 
@@ -52,6 +77,9 @@ def monodepth_loss(variables, nets, inputs, opt, rng, train: bool = True):
       ('color', f, s) NHWC for f in frame_ids, s in scales ∪ {0}
       ('color_aug', f, 0), ('K', 0) [B,4,4], ('inv_K', 0)
     """
+    if not isinstance(inputs, _Inputs):
+        inputs = _Inputs(encode_inputs(inputs) if any(
+            not isinstance(k, str) for k in inputs) else inputs)
     frame_ids = tuple(opt["frame_ids"])
     scales = tuple(opt["scales"])
     height, width = opt["height"], opt["width"]
@@ -69,8 +97,13 @@ def monodepth_loss(variables, nets, inputs, opt, rng, train: bool = True):
     feats = run_encoder("encoder", enc, inputs[("color_aug", 0, 0)])
     outputs = dict(dec.apply(variables["depth"], feats))
 
-    # poses: pairwise, temporal order preserved (``trainer.py:259-279``)
+    # poses: pairwise, temporal order preserved (``trainer.py:259-279``);
+    # the stereo frame's "pose" is the fixed rig extrinsic from the dataset
+    # (``trainer.py:296-302``, ``mono_dataset.py:193-198``)
     for f_i in frame_ids[1:]:
+        if f_i == "s":
+            outputs[("cam_T_cam", 0, "s")] = inputs["stereo_T"]
+            continue
         if f_i < 0:
             pair = [inputs[("color_aug", f_i, 0)], inputs[("color_aug", 0, 0)]]
         else:
@@ -165,22 +198,29 @@ class Trainer:
         self.log_path = os.path.join(o.log_dir, o.model_name)
         os.makedirs(self.log_path, exist_ok=True)
 
-        num_input_frames = len(o.frame_ids)
         assert o.frame_ids[0] == 0, "frame_ids must start with 0"
-        assert "s" not in o.frame_ids, "stereo training not implemented"
+        # use_stereo appends the 's' frame; stereo-only training ([0] + 's')
+        # needs no pose networks (``trainer.py:49-52``)
+        self.frame_ids = [f for f in o.frame_ids if f != "s"]
+        use_stereo = bool(getattr(o, "use_stereo", False) or "s" in o.frame_ids)
+        if use_stereo:
+            self.frame_ids.append("s")
+        self.use_stereo = use_stereo
+        self.use_pose_net = not (use_stereo and self.frame_ids == [0, "s"])
 
         self.encoder = ResnetEncoder(num_layers=o.num_layers)
         self.depth = DepthDecoder(
             num_ch_enc=tuple(self.encoder.num_ch_enc), scales=tuple(o.scales))
-        if o.pose_model_type == "posecnn":
-            self.pose_encoder = None
-            self.pose = PoseCNN(num_input_frames=2)
-        else:
-            self.pose_encoder = ResnetEncoder(
-                num_layers=o.num_layers, num_input_images=2)
-            self.pose = PoseDecoder(
-                num_ch_enc=tuple(self.pose_encoder.num_ch_enc),
-                num_input_features=1, num_frames_to_predict_for=2)
+        self.pose_encoder = self.pose = None
+        if self.use_pose_net:
+            if o.pose_model_type == "posecnn":
+                self.pose = PoseCNN(num_input_frames=2)
+            else:
+                self.pose_encoder = ResnetEncoder(
+                    num_layers=o.num_layers, num_input_images=2)
+                self.pose = PoseDecoder(
+                    num_ch_enc=tuple(self.pose_encoder.num_ch_enc),
+                    num_input_features=1, num_frames_to_predict_for=2)
 
         key = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, o.height, o.width, 3), jnp.float32)
@@ -189,16 +229,17 @@ class Trainer:
         feats = self.encoder.apply(self.variables["encoder"], dummy,
                                    train=True, mutable=["batch_stats"])[0]
         self.variables["depth"] = self.depth.init(key, feats)
-        dummy2 = jnp.zeros((1, o.height, o.width, 6), jnp.float32)
-        if o.pose_model_type == "posecnn":
-            self.variables["pose"] = self.pose.init(key, dummy2)
-        else:
-            self.variables["pose_encoder"] = self.pose_encoder.init(
-                key, dummy2, train=True)
-            pf = self.pose_encoder.apply(
-                self.variables["pose_encoder"], dummy2, train=True,
-                mutable=["batch_stats"])[0]
-            self.variables["pose"] = self.pose.init(key, [pf])
+        if self.use_pose_net:
+            dummy2 = jnp.zeros((1, o.height, o.width, 6), jnp.float32)
+            if o.pose_model_type == "posecnn":
+                self.variables["pose"] = self.pose.init(key, dummy2)
+            else:
+                self.variables["pose_encoder"] = self.pose_encoder.init(
+                    key, dummy2, train=True)
+                pf = self.pose_encoder.apply(
+                    self.variables["pose_encoder"], dummy2, train=True,
+                    mutable=["batch_stats"])[0]
+                self.variables["pose"] = self.pose.init(key, [pf])
 
         schedule = step_lr(o.learning_rate, o.scheduler_step_size * 10 ** 9, 0.1)
         # the reference steps StepLR per epoch; we rescale below once the
@@ -227,7 +268,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def _loss_opt(self):
         return {
-            "frame_ids": tuple(self.opt.frame_ids),
+            "frame_ids": tuple(self.frame_ids),
             "scales": tuple(self.opt.scales),
             "height": self.opt.height,
             "width": self.opt.width,
@@ -297,7 +338,7 @@ class Trainer:
             return None
         bs = min(self.opt.batch_size, len(self.val_dataset))
         items = [self.val_dataset[i] for i in range(bs)]
-        inputs = {k: jnp.asarray(np.stack([it[k] for it in items]))
+        inputs = {_enc_key(k): jnp.asarray(np.stack([it[k] for it in items]))
                   for k in items[0] if k != "depth_gt"}
         _, losses = self.process_batch(inputs)
         losses = jax.device_get(losses)
@@ -326,7 +367,7 @@ class Trainer:
         for start in range(0, n - bs + 1, bs):
             batch_items = [self.dataset[int(i)] for i in order[start:start + bs]]
             inputs = {
-                k: jnp.asarray(np.stack([it[k] for it in batch_items]))
+                _enc_key(k): jnp.asarray(np.stack([it[k] for it in batch_items]))
                 for k in batch_items[0]
             }
             rng = jax.random.PRNGKey(self.step)
@@ -352,7 +393,7 @@ class Trainer:
             save_pytree(v, os.path.join(folder, f"{name}.ckpt"))
         with open(os.path.join(folder, "meta.json"), "w") as f:
             json.dump({"height": self.opt.height, "width": self.opt.width,
-                       "use_stereo": False, "step": self.step}, f)
+                       "use_stereo": self.use_stereo, "step": self.step}, f)
         save_pytree(self.opt_state, os.path.join(folder, "adam.ckpt"))
 
     def load_model(self):

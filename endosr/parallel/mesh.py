@@ -55,6 +55,8 @@ def shard_batch(batch, mesh: Mesh | None = None, axis: str = "data"):
     n = mesh.devices.size
 
     def put(x):
+        if isinstance(x, (str, bytes)) or x is None:
+            return x  # path strings etc. ride along on the host
         if not hasattr(x, "ndim") or x.ndim == 0:
             return jax.device_put(x, NamedSharding(mesh, P()))
         spec = P(axis) if x.shape[0] % n == 0 else P()

@@ -1,9 +1,9 @@
 """Pack an image folder into an LMDB archive (``codes/scripts/create_lmdb.py``).
 
-Requires the optional ``lmdb`` package (not shipped in the TPU image —
-plain-image mode is the primary data path; this exists for dataset parity).
 Writes raw HWC uint8 blobs keyed by basename plus ``meta_info.pkl`` with
 per-image resolutions, matching the reader in ``endosr/data/util.py``.
+Uses the real ``lmdb`` package when available, otherwise the pure-Python
+writer in ``endosr.data.lmdb_io`` (this TPU image ships no lmdb wheel).
 """
 
 from __future__ import annotations
@@ -13,13 +13,10 @@ import os
 import pickle
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def create_lmdb(img_folder: str, lmdb_save_path: str) -> int:
-    try:
-        import lmdb
-    except ImportError:
-        sys.exit("the 'lmdb' package is not installed in this image; "
-                 "use plain-image (data_type: img) mode instead")
     import cv2
 
     names = sorted(
@@ -33,15 +30,28 @@ def create_lmdb(img_folder: str, lmdb_save_path: str) -> int:
         imgs.append((n, img))
         total += img.nbytes
 
-    env = lmdb.open(lmdb_save_path, map_size=total * 2 + 10 ** 8)
     resolutions = []
-    with env.begin(write=True) as txn:
-        for n, img in imgs:
-            key = os.path.splitext(n)[0].encode("ascii")
-            txn.put(key, img.tobytes())
-            h, w = img.shape[:2]
-            c = 1 if img.ndim == 2 else img.shape[2]
-            resolutions.append(f"{h}_{w}_{c}")
+    items = []
+    for n, img in imgs:
+        key = os.path.splitext(n)[0].encode("ascii")
+        items.append((key, img.tobytes()))
+        h, w = img.shape[:2]
+        c = 1 if img.ndim == 2 else img.shape[2]
+        resolutions.append(f"{h}_{w}_{c}")
+
+    try:
+        import lmdb
+
+        env = lmdb.open(lmdb_save_path, map_size=total * 2 + 10 ** 8)
+        with env.begin(write=True) as txn:
+            for key, blob in items:
+                txn.put(key, blob)
+        env.close()
+    except ImportError:
+        from endosr.data.lmdb_io import write_lmdb
+
+        write_lmdb(lmdb_save_path, items)
+
     meta = {"keys": [os.path.splitext(n)[0] for n, _ in imgs],
             "resolution": resolutions}
     with open(os.path.join(lmdb_save_path, "meta_info.pkl"), "wb") as f:

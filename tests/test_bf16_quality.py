@@ -1,0 +1,55 @@
+"""bf16 serving-precision quality certification.
+
+The benched precision is bfloat16 with fp32 InstanceNorm statistics
+(``endosr/nn/layers.py``). The BASELINE.md budget allows ≤0.05 dB PSNR loss
+vs the reference protocol. Accounting: if PSNR(bf16 output, fp32 output) is
+P_mis and the model operates at quality P_op vs GT, independent-error MSE
+addition gives ΔPSNR ≤ 10·log10(1 + 10^((P_op − P_mis)/10)). At P_op = 30 dB
+a mismatch-PSNR ≥ 45 dB keeps Δ ≤ 0.05 dB with headroom (Δ = 0.0137 dB at
+45 dB, 0.0043 dB at 50 dB). bench.py re-measures this on the real chip at
+the flagship shape each run and reports ``bf16_vs_fp32_psnr_db``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from endosr.nn.depthnet import DepthNet
+from endosr.ops.masks import depth_masks_np
+
+RNG = np.random.default_rng(9)
+
+
+def _smooth(shape, octaves=3):
+    """Band-limited random image in [0,1] — realistic spectra, not white noise."""
+    import cv2
+
+    h, w = shape[:2]
+    img = np.zeros(shape, np.float32)
+    for o in range(octaves):
+        s = 2 ** (o + 2)
+        low = RNG.random((max(2, h // s), max(2, w // s), shape[2])).astype(np.float32)
+        img += cv2.resize(low, (w, h), interpolation=cv2.INTER_CUBIC).reshape(shape)
+    img -= img.min()
+    return img / max(img.max(), 1e-6)
+
+
+def test_bf16_output_within_quality_budget():
+    lr = 48
+    lq = _smooth((lr, lr, 3))[None]
+    depth = _smooth((lr, lr, 1))[None]
+    masks = depth_masks_np(depth[0, ..., 0], True, 10)[None].astype(np.float32)
+
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=8,
+              depth_latent_ch=64, depth_range_num=10)
+    net32 = DepthNet(dtype=jnp.float32, **kw)
+    net16 = DepthNet(dtype=jnp.bfloat16, **kw)
+    params = net32.init(jax.random.PRNGKey(1), lq, depth, masks)["params"]
+
+    out32 = np.asarray(net32.apply({"params": params}, lq, depth, masks))
+    out16 = np.asarray(net16.apply({"params": params}, lq, depth, masks))
+    assert out16.dtype == np.float32  # output contract is fp32 either way
+
+    mse = float(np.mean((out16.astype(np.float64) - out32) ** 2))
+    psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+    assert psnr >= 45.0, f"bf16 mismatch-PSNR {psnr:.2f} dB eats the 0.05 dB budget"

@@ -104,3 +104,78 @@ def test_loader_propagates_worker_errors():
     loader = ShardedLoader(Bad(4), 2, prefetch=2)
     with pytest.raises(ValueError, match="boom"):
         list(loader)
+
+
+def test_sharded_loader_multiprocess_workers():
+    """Fork-based decode workers deliver the same batches in the same order
+    as the single-thread path (replaces DataLoader num_workers,
+    ``codes/data/__init__.py:16-22``)."""
+    from endosr.data import ShardedLoader
+
+    class DS:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            import numpy as np
+
+            return {"x": np.full((2, 2), i, np.float32), "p": f"item{i}"}
+
+    ds = DS()
+    ds.rng = None  # reseeded per worker
+    single = list(ShardedLoader(ds, 4, seed=3, prefetch=0))
+    multi = list(ShardedLoader(ds, 4, seed=3, num_workers=3))
+    assert len(single) == len(multi) == 6
+    import numpy as np
+
+    for a, b in zip(single, multi):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        assert a["p"] == b["p"]
+
+
+def test_loader_multiprocess_propagates_errors():
+    from endosr.data import ShardedLoader
+
+    class Bad:
+        rng = None
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom5")
+            import numpy as np
+
+            return {"x": np.zeros(1, np.float32)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom5"):
+        list(ShardedLoader(Bad(), 2, shuffle=False, num_workers=2))
+
+
+def test_prefetch_to_device():
+    import jax
+    import numpy as np
+
+    from endosr.data import ShardedLoader, prefetch_to_device
+    from endosr.parallel.mesh import make_mesh
+
+    class DS:
+        rng = None
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.float32)}
+
+    mesh = make_mesh(jax.devices()[:8])
+    got = list(prefetch_to_device(
+        ShardedLoader(DS(), 8, shuffle=False, prefetch=0), mesh))
+    assert len(got) == 2
+    assert isinstance(got[0]["x"], jax.Array)
+    np.testing.assert_array_equal(
+        np.asarray(got[0]["x"]), np.arange(8, dtype=np.float32)[:, None].repeat(4, 1).reshape(8, 4) * 0 + np.arange(8)[:, None]
+    )

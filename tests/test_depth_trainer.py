@@ -79,3 +79,71 @@ def test_depth_evaluate_helpers():
     gt = np.cumsum(rng.random((5, 3)), axis=0)
     ate = compute_ate(gt, gt.copy())
     assert ate == pytest.approx(0.0, abs=1e-9)
+
+
+def _stereo_pair_frames(tmp_path, n=6, h=48, w=48):
+    import cv2
+
+    rng = np.random.default_rng(2)
+    base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    for cam in (1, 2):
+        d = tmp_path / "seq" / f"image0{cam}"
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            # horizontal shift between cameras emulates a stereo baseline
+            shifted = np.roll(base, shift=i * 2 + (cam - 1) * 4, axis=1)
+            cv2.imwrite(str(d / f"{i:010d}.jpg"), shifted)
+
+
+def test_depth_trainer_stereo_step(tmp_path):
+    """'s' frames: stereo_T from the dataset, finite losses in one jitted
+    step (reference ``trainer.py:49-52,296-302``)."""
+    _stereo_pair_frames(tmp_path)
+    opts = _make_opts(tmp_path)
+    opts.use_stereo = True
+    opts.frame_ids = [0, -1, 1]
+
+    from endosr.depth.datasets import EndovisDataset
+    from endosr.depth.trainer import Trainer
+
+    ds = EndovisDataset(
+        str(tmp_path), [f"seq {i} l" for i in range(1, 5)], opts.height,
+        opts.width, [0, -1, 1, "s"], num_scales=4, is_train=True,
+        img_ext=".jpg",
+    )
+    item = ds[0]
+    assert item[("color", "s", 0)].shape == (32, 32, 3)
+    assert item["stereo_T"].shape == (4, 4)
+    assert abs(item["stereo_T"][0, 3]) == pytest.approx(0.1)
+
+    trainer = Trainer(opts, dataset=ds)
+    assert trainer.frame_ids == [0, -1, 1, "s"]
+    trainer.run_epoch()
+    assert trainer.step >= 1
+
+    import jax.numpy as jnp
+
+    batch = {k: jnp.asarray(np.stack([ds[0][k], ds[1][k]])) for k in item}
+    _, losses = trainer.process_batch(batch)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_depth_trainer_stereo_only_no_pose_net(tmp_path):
+    """Stereo-only ([0]+'s') trains without any pose networks."""
+    _stereo_pair_frames(tmp_path)
+    opts = _make_opts(tmp_path)
+    opts.use_stereo = True
+    opts.frame_ids = [0]
+
+    from endosr.depth.datasets import EndovisDataset
+    from endosr.depth.trainer import Trainer
+
+    ds = EndovisDataset(
+        str(tmp_path), [f"seq {i} r" for i in range(1, 5)], opts.height,
+        opts.width, [0, "s"], num_scales=4, is_train=True, img_ext=".jpg",
+    )
+    trainer = Trainer(opts, dataset=ds)
+    assert not trainer.use_pose_net
+    assert "pose" not in trainer.variables
+    trainer.run_epoch()
+    assert trainer.step >= 1

@@ -132,9 +132,13 @@ def main():
     val_freq = int(opt_F["train"]["val_freq"])
     save_freq = int(opt_F["logger"]["save_checkpoint_freq"])
 
+    from endosr.data import prefetch_to_device
+
     for epoch in range(start_epoch, total_epochs + 1):
         train_loader.set_epoch(epoch)
-        for batch in train_loader:
+        # double-buffered device placement: upcoming batches are device_put
+        # with their mesh shardings while the current step runs
+        for batch in prefetch_to_device(train_loader, model.mesh):
             current_step += 1
             if current_step > total_iters:
                 break
@@ -179,7 +183,11 @@ def main():
                     )
                     avg_ssim += float(np.mean(np.asarray(ssim_jax(
                         visuals["SR"][None], visuals["GT"][None]))))
-                    if idx >= 100:  # bound val cost like debug runs expect
+                    # reference validates the full set (codes/train.py:219-271);
+                    # val_max_images optionally bounds it for debug runs
+                    val_cap = (opt_F["datasets"].get("val") or {}).get(
+                        "val_max_images")
+                    if val_cap and idx >= int(val_cap):
                         break
                 avg_psnr /= max(1, idx)
                 avg_ssim /= max(1, idx)
