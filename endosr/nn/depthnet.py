@@ -42,7 +42,12 @@ from endosr.nn.layers import (
     torch_conv_init,
     wn_effective_kernel,
 )
-from endosr.nn.sean import SEAN, hoisted_o_branch, hoisted_style_branch
+from endosr.nn.sean import (
+    SEAN,
+    hoisted_blended_mods,
+    hoisted_o_branch,
+    hoisted_style_branch,
+)
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
 
@@ -176,17 +181,23 @@ class DepthResidualBlock(nn.Module):
         return [self.norm1.style_branch_weights(),
                 self.norm2.style_branch_weights()]
 
-    def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None, sb=None):
-        """``ob``/``sb``: optional per-SEAN precomputed modulation pairs."""
+    def blend_alphas(self):
+        return [self.norm1.blend_alphas(), self.norm2.blend_alphas()]
+
+    def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None, sb=None,
+                 mod=None):
+        """``ob``/``sb``/``mod``: optional per-SEAN precomputed modulation."""
         h = instance_norm(self.conv1_0(x))
         h = self.norm1(h, depth_map, depth_mask, depth_vec,
                        ob=None if ob is None else ob[0],
-                       sb=None if sb is None else sb[0])
+                       sb=None if sb is None else sb[0],
+                       mod=None if mod is None else mod[0])
         h = nn.relu(h)
         h = instance_norm(self.conv2_0(h))
         h = self.norm2(h, depth_map, depth_mask, depth_vec,
                        ob=None if ob is None else ob[1],
-                       sb=None if sb is None else sb[1])
+                       sb=None if sb is None else sb[1],
+                       mod=None if mod is None else mod[1])
         return nn.relu(x + h)
 
 
@@ -244,6 +255,13 @@ class DepthNet(nn.Module):
     fold_output_conv: bool = True  # run the 9×9 head pre-PixelShuffle (exact)
     fold_tail: bool = True  # defer upscale2/3 shuffles; tail convs run folded
     hoist_style: bool = True  # batch trunk SEAN depth-matrix branches
+    # Pallas fused blended-modulation kernel (endosr/kernels/fused_mod.py).
+    # Correct and gradient-capable, but measured SLOWER than the XLA
+    # two-hoist lowering on v5e (16.1 ms vs 9.1 ms at the flagship shape:
+    # the op is FLOP-bound and XLA's grouped-conv schedule beats our
+    # per-tile matmuls) — so off by default; kept for other shapes/parts.
+    fused_modulation: bool = False
+    pallas_output: bool = True  # fused clip→shuffle→fp32 output stage
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -305,30 +323,50 @@ class DepthNet(nn.Module):
         trunk_depth = [i for i in range(nb - 3) if i in which]
         ob_map: dict[int, tuple] = {}
         sb_map: dict[int, tuple] = {}
+        mod_map: dict[int, tuple] = {}
         if trunk_depth and not self.ablate_depth_block:
             size = (feat_downscaled.shape[1], feat_downscaled.shape[2])
             dmap = interpolate_nearest(depth_map, size)
-            weights = []
-            for i in trunk_depth:
-                weights.extend(blocks[i].depth_branch_weights())
-            obs = hoisted_o_branch(weights, dmap, self.dtype)
-            for idx, i in enumerate(trunk_depth):
-                ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
-            if self.hoist_style and not self.ablate_depth_matrix:
-                # the depth-matrix branch is equally loop-invariant: one
-                # batched [B,HW,9K]×[B,9K,N·2C] matmul replaces N thin ones
+            can_fuse = (self.fused_modulation and not self.ablate_depth_matrix
+                        and depth_vec is not None)
+            if can_fuse:
+                # one Pallas kernel: conv1+relu+conv2 (o-branch), the style
+                # matmul, biases and the α blend per VMEM tile — the blended
+                # (γ,β) is the only HBM-size intermediate
                 dmask = interpolate_nearest(depth_mask, size)
-                sweights = []
+                o_w, s_w, al = [], [], []
                 for i in trunk_depth:
-                    sweights.extend(blocks[i].style_branch_weights())
-                sbs = hoisted_style_branch(sweights, dmask, depth_vec, self.dtype)
+                    o_w.extend(blocks[i].depth_branch_weights())
+                    s_w.extend(blocks[i].style_branch_weights())
+                    al.extend(blocks[i].blend_alphas())
+                mods = hoisted_blended_mods(o_w, s_w, al, dmap, dmask,
+                                            depth_vec, self.dtype)
                 for idx, i in enumerate(trunk_depth):
-                    sb_map[i] = (sbs[2 * idx], sbs[2 * idx + 1])
+                    mod_map[i] = (mods[2 * idx], mods[2 * idx + 1])
+            else:
+                weights = []
+                for i in trunk_depth:
+                    weights.extend(blocks[i].depth_branch_weights())
+                obs = hoisted_o_branch(weights, dmap, self.dtype)
+                for idx, i in enumerate(trunk_depth):
+                    ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
+                if self.hoist_style and not self.ablate_depth_matrix:
+                    # the depth-matrix branch is equally loop-invariant: one
+                    # batched [B,HW,9K]×[B,9K,N·2C] matmul replaces N thin ones
+                    dmask = interpolate_nearest(depth_mask, size)
+                    sweights = []
+                    for i in trunk_depth:
+                        sweights.extend(blocks[i].style_branch_weights())
+                    sbs = hoisted_style_branch(sweights, dmask, depth_vec,
+                                               self.dtype)
+                    for idx, i in enumerate(trunk_depth):
+                        sb_map[i] = (sbs[2 * idx], sbs[2 * idx + 1])
 
         def run_block(i: int, feat):
             if i in which:
                 return blocks[i](feat, depth_map, depth_mask, depth_vec,
-                                 ob=ob_map.get(i), sb=sb_map.get(i))
+                                 ob=ob_map.get(i), sb=sb_map.get(i),
+                                 mod=mod_map.get(i))
             return blocks[i](feat)
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)
@@ -426,7 +464,15 @@ class DepthNet(nn.Module):
             )
             pre = _conv_dt(leaky_relu(z), wh, bh, self.dtype)
             # clip commutes with the shuffle and with the fp32 convert
-            # (0/1 exact in bf16) — clamp the small pre-shuffle tensor
+            # (0/1 exact in bf16); the fused Pallas output stage emits the
+            # shuffled fp32 rows directly (vs XLA's convert+layout copies:
+            # 41.4 -> 39.7 ms end-to-end at the flagship shape, bit-exact)
+            if self.pallas_output:
+                from endosr.kernels.output_stage import output_stage
+
+                flat = output_stage(pre, r, self.clamp_min, self.clamp_max)
+                b_, hr = flat.shape[0], flat.shape[1]
+                return flat.reshape(b_, hr, -1, self.out_nc)
             out = pixel_shuffle(
                 jnp.clip(pre, self.clamp_min, self.clamp_max), r
             )

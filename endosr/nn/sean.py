@@ -165,6 +165,73 @@ def hoisted_style_branch(weights, depth_mask, st, dtype):
     return out
 
 
+def hoisted_blended_mods(o_weights, s_weights, alphas, depth_map, depth_mask,
+                         st, dtype, use_pallas=True):
+    """Fully-fused trunk modulation: one kernel produces the final blended
+    (γ, β) for every SEAN instance (see ``endosr/kernels/fused_mod.py``).
+
+    The α blend and all bias terms are folded into the operands:
+    out = shifted@(α·v) + conv2(relu(conv1(d)); (1−α)·w2) + [α·b_s+(1−α)·b_o]
+    — algebraically identical to the two-branch path. Returns per-instance
+    (γ, β) slices of the blended map.
+    """
+    from endosr.kernels.fused_mod import (
+        fused_modulation,
+        fused_modulation_reference,
+        fused_modulation_supported,
+    )
+
+    n = len(o_weights)
+    if n == 0:
+        return []
+    b, k, l = st.shape
+    c2 = o_weights[0][1].shape[-1]
+    c = c2 // 2
+    st = st.astype(dtype)
+
+    alpha_vec = jnp.stack([
+        jnp.concatenate([jnp.broadcast_to(ag.reshape(()), (c,)),
+                         jnp.broadcast_to(ab.reshape(()), (c,))])
+        for ag, ab in alphas
+    ]).astype(dtype)  # [N, 2C]
+
+    wm = jnp.stack([w[0]["kernel"].reshape(9, c2).astype(dtype)
+                    for w in o_weights])
+    bm = jnp.stack([w[0]["bias"].astype(dtype) for w in o_weights])
+    w2 = jnp.stack([w[1].reshape(9 * c2, c2).astype(dtype)
+                    for w in o_weights]) * (1.0 - alpha_vec)[:, None, :]
+
+    a_w = jnp.stack([w[0][0, 0].astype(dtype) for w in s_weights])  # [N,K,K]
+    a_b = jnp.stack([w[1].astype(dtype) for w in s_weights])
+    st_mixed = jnp.einsum("njk,bjl->nbkl", a_w, st) + a_b[:, None, :, None]
+    w_cat = jnp.stack([
+        jnp.concatenate([w[2]["kernel"].astype(dtype),
+                         w[3]["kernel"].astype(dtype)], axis=-1)
+        for w in s_weights
+    ])  # [N,3,3,L,2C]
+    v = jnp.einsum("nbkl,nxylc->bnxykc", st_mixed, w_cat)
+    v = v.reshape(b, n, 9 * k, c2) * alpha_vec[None, :, None, :]
+
+    b_s = jnp.stack([
+        jnp.concatenate([w[2]["bias"].astype(dtype),
+                         w[3]["bias"].astype(dtype)]) for w in s_weights
+    ])
+    b_o = jnp.stack([w[2].astype(dtype) for w in o_weights])
+    bias = alpha_vec * b_s + (1.0 - alpha_vec) * b_o
+
+    h, w_ = depth_mask.shape[1], depth_mask.shape[2]
+    fn = (fused_modulation if use_pallas and fused_modulation_supported(h, w_)
+          else fused_modulation_reference)
+    out = fn(depth_map.astype(dtype), depth_mask.astype(dtype),
+             wm, bm, w2, v, bias, dtype)
+
+    mods = []
+    for i in range(n):
+        sl = out[..., i * c2:(i + 1) * c2]
+        mods.append((sl[..., :c], sl[..., c:]))
+    return mods
+
+
 class SEAN(nn.Module):
     label_nc: int = 10          # number of depth bins K
     norm_nc: int = 32           # channels of the normalized feature
@@ -248,12 +315,21 @@ class SEAN(nn.Module):
         :func:`hoisted_style_branch`."""
         return self.a_w, self.a_b, self.w_gs, self.w_bs
 
-    def __call__(self, x, depth_map, depth_mask, st, ob=None, sb=None):
+    def blend_alphas(self):
+        """(α_γ, α_β) blend factors as arrays (trainable or fixed)."""
+        if self.use_trainable_params:
+            return self.alpha_gamma, self.alpha_beta
+        return (jnp.asarray([self.norm_gamma], self.param_dtype),
+                jnp.asarray([self.norm_beta], self.param_dtype))
+
+    def __call__(self, x, depth_map, depth_mask, st, ob=None, sb=None,
+                 mod=None):
         """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L].
 
         ``ob``/``sb``: optional precomputed (γ_o, β_o) / (γ_s, β_s) at x's
         resolution — the hoisted depth-map / depth-matrix branches (see
-        module docstring).
+        module docstring). ``mod``: fully blended (γ, β) from the fused
+        kernel — short-circuits both branches and the α blend.
         """
         c = self.norm_nc
         size = (x.shape[1], x.shape[2])
@@ -268,6 +344,9 @@ class SEAN(nn.Module):
                     x, gamma.astype(jnp.float32), beta.astype(jnp.float32)
                 )
             return instance_norm(x) * (1 + gamma) + beta
+
+        if mod is not None:
+            return epilogue(mod[0], mod[1])
 
         depth_mask = interpolate_nearest(depth_mask, size).astype(self.dtype)
 

@@ -35,3 +35,43 @@ def test_fused_in_mod_matches_torch_instancenorm():
         torch.from_numpy(x).permute(0, 3, 1, 2)
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_output_stage_twin_and_wiring():
+    """Fused clip→shuffle→fp32 output stage (endosr/kernels/output_stage.py):
+    the jnp twin equals clip+pixel_shuffle+convert, and DepthNet's
+    pallas_output path returns the same NHWC tensor as the plain path
+    (on CPU the kernel falls back to the twin; TPU bit-exactness is
+    checked in tools/bench_breakdown.kernels_ab)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from endosr.kernels.output_stage import output_stage, output_stage_reference
+    from endosr.nn.layers import pixel_shuffle
+
+    rng = np.random.default_rng(7)
+    pre = jnp.asarray(rng.random((2, 16, 16, 48), dtype=np.float32) * 1.4 - 0.2)
+    want = jnp.clip(pixel_shuffle(pre, 4), 0.0, 1.0)
+    got = output_stage(pre, 4).reshape(2, 64, 64, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # gradient flows through the custom_vjp
+    g = jax.grad(lambda p: jnp.sum(output_stage(p, 4) ** 2))(pre)
+    assert np.isfinite(np.asarray(g)).all()
+
+    from endosr.nn.depthnet import DepthNet
+    from endosr.ops.masks import depth_masks_np
+
+    lq = rng.random((1, 16, 16, 3), dtype=np.float32)
+    depth = rng.random((1, 16, 16), dtype=np.float32)
+    masks = depth_masks_np(depth[0], True, 10)[None].astype(np.float32)
+    depth = depth[..., None].astype(np.float32)
+    kw = dict(which_resblk_depth=(0, 1), scale=4, depth_latent_ch=16)
+    net_p = DepthNet(pallas_output=True, **kw)
+    net_x = DepthNet(pallas_output=False, **kw)
+    params = net_p.init(jax.random.PRNGKey(3), lq, depth, masks)["params"]
+    op = np.asarray(net_p.apply({"params": params}, lq, depth, masks))
+    ox = np.asarray(net_x.apply({"params": params}, lq, depth, masks))
+    assert op.shape == ox.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(op, ox, atol=1e-6)

@@ -123,3 +123,86 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def kernels_ab():
+    """A/B the Pallas kernels against their XLA twins on the real chip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    def timer1(fn, args, n1=5, n2=30):
+        @jax.jit
+        def step(acc, *a):
+            out = fn(*(x + (acc * 0).astype(x.dtype) if i == 0 else x
+                       for i, x in enumerate(a)))
+            return acc + jnp.sum(out.ravel()[:2].astype(jnp.float32)) * 1e-12
+
+        def run(n):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                acc = step(acc, *args)
+            jax.device_get(acc)
+            return time.perf_counter() - t0
+
+        run(2)
+        t1 = min(run(n1) for _ in range(3))
+        t2 = min(run(n2) for _ in range(3))
+        return (t2 - t1) / (n2 - n1) * 1e3
+
+    # fused modulation kernel vs its XLA twin (kernel is OFF by default:
+    # XLA's grouped-conv schedule wins the production two-hoist form)
+    from endosr.kernels.fused_mod import (
+        _pallas_forward, fused_modulation_reference)
+
+    B, H, W, K, N, C2 = 8, 128, 128, 10, 26, 128
+    f = lambda *s: jnp.asarray(rng.random(s, dtype=np.float32) - 0.5, dt)
+    args = (jnp.asarray(rng.random((B, H, W, 1), np.float32), dt),
+            jnp.asarray((rng.random((B, H, W, K)) > 0.7).astype(np.float32), dt),
+            f(N, 9, C2), f(N, C2), f(N, 9 * C2, C2), f(B, N, 9 * K, C2),
+            f(N, C2))
+    print(f"fused_mod pallas       {timer1(_pallas_forward, args):8.3f} ms")
+    print(f"fused_mod xla twin     {timer1(fused_modulation_reference, args):8.3f} ms")
+
+    # output stage kernel (ON by default): isolated timing is misleading —
+    # a reduction consumer lets XLA elide the twin's layout copies entirely —
+    # so A/B the full flagship forward with the output actually materialized
+    # (two jits: forward, then a separate reducer).
+    from endosr.nn.depthnet import DepthNet
+
+    lq = jnp.asarray(rng.random((8, 128, 128, 3), np.float32))
+    dep = jnp.asarray(rng.random((8, 128, 128, 1), np.float32))
+    mk = jnp.asarray((rng.random((8, 128, 128, 10)) > 0.9).astype(np.float32))
+
+    def net_ab(pallas_out):
+        net = DepthNet(which_resblk_depth=tuple(range(14)), scale=8,
+                       depth_latent_ch=256, depth_range_num=10,
+                       dtype=jnp.bfloat16, pallas_output=pallas_out)
+        params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+        fwd = jax.jit(lambda p, x: net.apply({"params": p}, x, dep, mk))
+        reduce = jax.jit(lambda out, acc: acc + jnp.mean(out) * 1e-12)
+
+        def run(n):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                acc = reduce(fwd(params, lq + acc * 0.0), acc)
+            jax.device_get(acc)
+            return time.perf_counter() - t0
+
+        run(2)
+        t1 = min(run(5) for _ in range(3))
+        t2 = min(run(30) for _ in range(3))
+        return (t2 - t1) / 25 * 1e3
+
+    print(f"fwd+materialize pallas output {net_ab(True):8.3f} ms")
+    print(f"fwd+materialize xla output    {net_ab(False):8.3f} ms")
+
+
+if __name__ == "__main__" and os.environ.get("BENCH_KERNELS"):
+    kernels_ab()
