@@ -77,7 +77,10 @@ def parse(opt_path: str, is_train: bool = True, root: str | None = None) -> dict
         if path and ("resume" in key or "pretrain" in key or "root" in key):
             opt["path"][key] = osp.expanduser(path)
     if root is None:
-        root = osp.abspath(osp.join(osp.dirname(osp.abspath(__file__)), "..", ".."))
+        # the YAML may pin the workspace root (path.root); otherwise the
+        # repo root, like the reference (``options/options.py:49-51``)
+        root = opt["path"].get("root") or osp.abspath(
+            osp.join(osp.dirname(osp.abspath(__file__)), "..", ".."))
     opt["path"]["root"] = root
 
     if is_train:

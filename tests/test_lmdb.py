@@ -55,12 +55,19 @@ def test_write_read_roundtrip_many_and_large(tmp_path):
 @pytest.fixture
 def lmdb_dataset_dirs(tmp_path):
     """Synthetic GT/LR LMDB archives + depth npys for the flagship dataset."""
-    import sys
+    import importlib.util
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import cv2
 
-    from scripts.create_lmdb import create_lmdb
+    # load by file path: the reference repo also has a `scripts` package on
+    # sys.path once the torch-oracle fixtures have run
+    spec = importlib.util.spec_from_file_location(
+        "endosr_create_lmdb",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "create_lmdb.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    create_lmdb = mod.create_lmdb
 
     gt_dir, lr_dir, depth_dir = (tmp_path / d for d in ("gt", "lr", "depth"))
     for d in (gt_dir, lr_dir, depth_dir):
