@@ -280,6 +280,8 @@ def open_lmdb(path: str):
     try:
         import lmdb
 
+        if not hasattr(lmdb, "open"):  # a test stub, not the real package
+            raise ImportError("lmdb module has no open()")
         return lmdb.open(path, readonly=True, lock=False, readahead=False,
                          meminit=False)
     except ImportError:

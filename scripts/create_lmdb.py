@@ -42,6 +42,8 @@ def create_lmdb(img_folder: str, lmdb_save_path: str) -> int:
     try:
         import lmdb
 
+        if not hasattr(lmdb, "open"):  # a test stub, not the real package
+            raise ImportError("lmdb module has no open()")
         env = lmdb.open(lmdb_save_path, map_size=total * 2 + 10 ** 8)
         with env.begin(write=True) as txn:
             for key, blob in items:
