@@ -39,29 +39,49 @@ def per_bin_masked_loss(sr, hr, mask_list, criterion: str = "smoothl1") -> jax.A
     reference's sum-over-masked-image / sum-of-3-channel-mask normalization.
     For mean-reduction criteria the reference computes the plain mean over
     the masked (zeroed-elsewhere) images; reproduced exactly.
-    """
-    size = (sr.shape[1], sr.shape[2])
-    masks = _resize_masks(mask_list, size)  # [B,H,W,K]
-    c = sr.shape[-1]
 
+    Nearest-upsampling a mask by an integer factor is block-constant, so for
+    the usual LR-mask/SR-image case the K masked sums reduce to LR-resolution
+    contractions over block-summed losses — exact math, without ever
+    materializing the [B,H,W,K] upsampled mask stack (which made this loss
+    cost ~1 s/step at GT 1024² before).
+    """
+    b, hh, ww, c = sr.shape
+    hm, wm, k = mask_list.shape[1], mask_list.shape[2], mask_list.shape[3]
+    block = (hh % hm == 0) and (ww % wm == 0)
+    fh, fw = hh // hm if block else 1, ww // wm if block else 1
+
+    def per_bin_sum(elem):
+        """Σ elem·mask_k per bin, elem: [B,H,W] (already channel-reduced)."""
+        if block:
+            blk = elem.reshape(b, hm, fh, wm, fw).sum(axis=(2, 4))
+            return jnp.einsum("bhw,bhwk->k", blk, mask_list)
+        masks = _resize_masks(mask_list, (hh, ww))
+        return jnp.einsum("bhw,bhwk->k", elem, masks)
+
+    def mask_area():
+        if block:
+            return jnp.sum(mask_list, axis=(0, 1, 2)) * (fh * fw)
+        return jnp.sum(_resize_masks(mask_list, (hh, ww)), axis=(0, 1, 2))
+
+    diff = sr - hr
     if criterion == "smoothl1":
-        diff = jnp.abs(sr - hr)
-        elem = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)  # [B,H,W,C]
-        num = jnp.einsum("bhwc,bhwk->k", elem, masks)
-        den = jnp.sum(masks, axis=(0, 1, 2)) * c
-        return num / den
-    # mean criteria over masked images (mask zeros elsewhere)
+        ad = jnp.abs(diff)
+        elem = jnp.where(ad < 1.0, 0.5 * ad * ad, ad - 0.5).sum(axis=-1)
+        return per_bin_sum(elem) / (mask_area() * c)
     n = sr.size
-    masked_sr = sr[..., None, :] * masks[..., :, None]  # [B,H,W,K,C]
-    masked_hr = hr[..., None, :] * masks[..., :, None]
     if criterion == "l1":
-        return jnp.sum(jnp.abs(masked_sr - masked_hr), axis=(0, 1, 2, 4)) / n
+        # |m·a − m·b| = m·|a−b| for binary masks
+        return per_bin_sum(jnp.abs(diff).sum(axis=-1)) / n
     if criterion == "l2":
-        return jnp.sum(jnp.square(masked_sr - masked_hr), axis=(0, 1, 2, 4)) / n
+        return per_bin_sum(jnp.square(diff).sum(axis=-1)) / n
     if criterion == "cb":
-        return jnp.sum(
-            jnp.sqrt(jnp.square(masked_sr - masked_hr) + 1e-6), axis=(0, 1, 2, 4)
-        )
+        # reference sums √((m·d)²+ε) over ALL pixels: √(d²+ε) where m=1
+        # and √ε elsewhere
+        eps = 1e-6
+        inside = per_bin_sum((jnp.sqrt(jnp.square(diff) + eps)
+                              - jnp.sqrt(eps)).sum(axis=-1))
+        return inside + n * jnp.sqrt(eps)
     raise NotImplementedError(f"Loss type [{criterion}] for depth loss is not recognized.")
 
 
@@ -71,8 +91,9 @@ def mask_loss(sr, hr, mask_list, bin_index, criterion: str = "smoothl1",
     (host RNG in the reference, ``mask_loss.py:24``); pass a traced int32 to
     keep the train step jittable."""
     size = (sr.shape[1], sr.shape[2])
-    masks = _resize_masks(mask_list, size)
-    m = jnp.take(masks, bin_index, axis=-1)[..., None]  # [B,H,W,1]
+    # select the bin BEFORE upsampling (K× less resize work, same result)
+    m = jnp.take(mask_list, bin_index, axis=-1)[..., None]  # [B,h,w,1]
+    m = _resize_masks(m, size)  # [B,H,W,1]
     masked_sr = sr * m
     masked_hr = hr * m
     if criterion == "smoothl1":

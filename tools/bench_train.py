@@ -1,0 +1,83 @@
+"""Flagship training-step benchmark: samples/sec/chip for the full jitted
+SPMD step (DepthNet ×8 forward at GT 1024², L1 + dynamic depth-mask loss,
+backward, Adam — the ``train_depthNet_SEAN_depthMask_x8.yml`` recipe).
+
+Methodology: the batch is device-resident (the host pipeline's
+``prefetch_to_device`` overlaps H2D in real training) and the step is the
+production donated-buffer program, chained through its state. Timing is the
+difference quotient between two chain lengths (the bench.py method): the
+tunnel's per-fetch round trip is hundreds of ms with large variance, so
+per-step synchronization would measure the tunnel, not the chip.
+
+Prints one JSON line. Reference anchor: the recipe targets batch 8 across
+2× V100-class GPUs; at ~0.72 TFLOP fwd+bwd per frame and 25–50% cuDNN
+efficiency that is ~5–11 samples/s per GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    from endosr.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from __graft_entry__ import _flagship_opt
+    from endosr.config.options import dict_to_nonedict
+    from endosr.models.f_depthcond import FModelDepthCond
+    from endosr.parallel.mesh import shard_batch
+
+    opt = dict_to_nonedict(_flagship_opt(lr_size=128, mask_num=10, scale=8))
+    model = FModelDepthCond(opt)
+    rng = np.random.default_rng(0)
+    b = 8
+    batch = {
+        "LQ": rng.random((b, 128, 128, 3)).astype(np.float32),
+        "GT": rng.random((b, 1024, 1024, 3)).astype(np.float32),
+        "Depth": rng.random((b, 128, 128, 1)).astype(np.float32),
+        "DepthMaskList": (rng.random((b, 128, 128, 10)) > 0.9).astype(np.float32),
+    }
+    dev_batch = shard_batch(dict(batch, mask_bin=np.int32(3)), model.mesh)
+
+    state = model.state
+    state, logs = model._train_step(state, dev_batch)  # compile + warm
+    assert np.isfinite(float(jax.device_get(logs["l_all"])))
+
+    def chain(state, n):
+        t0 = time.perf_counter()
+        logs = None
+        for _ in range(n):
+            state, logs = model._train_step(state, dev_batch)
+        assert np.isfinite(float(jax.device_get(logs["l_all"])))
+        return time.perf_counter() - t0, state
+
+    n1, n2 = 3, 13
+    t1 = t2 = 1e9
+    for _ in range(3):
+        t, state = chain(state, n1)
+        t1 = min(t1, t)
+        t, state = chain(state, n2)
+        t2 = min(t2, t)
+    dt = (t2 - t1) / (n2 - n1)
+
+    print(json.dumps({
+        "metric": "samples/sec/chip, DepthNet x8 Kvasir training step "
+                  "(bs8, GT 1024^2, L1+dynamic mask, fp32)",
+        "value": round(b / dt, 3),
+        "unit": "samples/sec/chip",
+        "ms_per_step": round(dt * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
