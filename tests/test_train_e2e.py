@@ -129,6 +129,9 @@ def test_flagship_train_smoke(synth_dataset, tmp_path):
             break
 
     assert np.isfinite(losses).all()
+    # the optimizer actually learns: loss drops materially within 8 steps
+    # (fixed tiny dataset repeats, so this is a strong signal)
+    assert min(losses[-3:]) < 0.7 * losses[0], losses
     # trainable dynamic weights should sum to 1 under softmax
     w = [model.log_dict[f"dyn_w_{i}"] for i in range(10)]
     assert abs(sum(w) - 1.0) < 1e-4
