@@ -195,3 +195,54 @@ def test_f_depth_model_step():
     assert np.isfinite(m.log_dict["l_depth"])
     m.test()
     assert m.fake_SR.shape == (2, 64, 64, 3)
+
+
+def test_flagship_bf16_precision_trains():
+    """`precision: bf16` (bf16 compute, fp32 params + IN statistics) runs a
+    finite, learning train step — the serving precision certified in
+    tests/test_bf16_quality.py is also trainable."""
+    import numpy as np
+
+    from endosr.config.options import dict_to_nonedict
+    from endosr.models.f_depthcond import FModelDepthCond
+
+    opt = dict_to_nonedict({
+        "is_train": True, "model": "sftmd_depthCond", "scale": 4,
+        "precision": "bf16",
+        "datasets": {"train": {"phase": "train", "depthMaskNum": 4,
+                               "LR_size": 8, "GT_size": 32, "batch_size": 2}},
+        "network_G": {"which_model_G": "DepthNet", "in_nc": 3, "out_nc": 3,
+                      "nf": 64, "nb": 6, "depth_latent_ch": 16,
+                      "use_trainable_params": True,
+                      "which_ResBlk_depth": [0, 1]},
+        "path": {},
+        "train": {"lr_G": 1e-3, "lr_scheme": "MultiStepLR_Restart",
+                  "beta1": 0.9, "beta2": 0.99, "niter": 10,
+                  "warmup_iter": -1, "lr_steps": [5], "lr_gamma": 0.5,
+                  "pixel_criterion": "l1", "pixel_weight": 1.0,
+                  "dynamic_loss": {"use_dynamic_criterion": True,
+                                   "dynamic_criterion": "smoothl1",
+                                   "dynamic_weight": 10.0},
+                  "manual_seed": 0},
+        "logger": {},
+    })
+    model = FModelDepthCond(opt)
+    rng = np.random.default_rng(2)
+    batch = {
+        "LQ": rng.random((2, 8, 8, 3)).astype(np.float32),
+        "GT": rng.random((2, 32, 32, 3)).astype(np.float32),
+        "Depth": rng.random((2, 8, 8, 1)).astype(np.float32),
+        "DepthMaskList": (rng.random((2, 8, 8, 4)) > 0.7).astype(np.float32),
+    }
+    losses = []
+    for i in range(6):
+        model.feed_data(batch)
+        model.optimize_parameters(i)
+        losses.append(model.get_current_log()["l_all"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params stayed fp32 (bf16 is compute-only)
+    import jax.numpy as jnp
+
+    leaf = model.state.params["netG"]["head_0"]["v"]
+    assert leaf.dtype == jnp.float32

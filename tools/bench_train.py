@@ -37,45 +37,53 @@ def main():
     from endosr.models.f_depthcond import FModelDepthCond
     from endosr.parallel.mesh import shard_batch
 
-    opt = dict_to_nonedict(_flagship_opt(lr_size=128, mask_num=10, scale=8))
-    model = FModelDepthCond(opt)
-    rng = np.random.default_rng(0)
     b = 8
+    rng = np.random.default_rng(0)
     batch = {
         "LQ": rng.random((b, 128, 128, 3)).astype(np.float32),
         "GT": rng.random((b, 1024, 1024, 3)).astype(np.float32),
         "Depth": rng.random((b, 128, 128, 1)).astype(np.float32),
         "DepthMaskList": (rng.random((b, 128, 128, 10)) > 0.9).astype(np.float32),
     }
-    dev_batch = shard_batch(dict(batch, mask_bin=np.int32(3)), model.mesh)
 
-    state = model.state
-    state, logs = model._train_step(state, dev_batch)  # compile + warm
-    assert np.isfinite(float(jax.device_get(logs["l_all"])))
-
-    def chain(state, n):
-        t0 = time.perf_counter()
-        logs = None
-        for _ in range(n):
-            state, logs = model._train_step(state, dev_batch)
+    def measure(precision):
+        o = _flagship_opt(lr_size=128, mask_num=10, scale=8)
+        if precision:
+            o["precision"] = precision
+        model = FModelDepthCond(dict_to_nonedict(o))
+        dev_batch = shard_batch(dict(batch, mask_bin=np.int32(3)), model.mesh)
+        state = model.state
+        state, logs = model._train_step(state, dev_batch)  # compile + warm
         assert np.isfinite(float(jax.device_get(logs["l_all"])))
-        return time.perf_counter() - t0, state
 
-    n1, n2 = 3, 13
-    t1 = t2 = 1e9
-    for _ in range(3):
-        t, state = chain(state, n1)
-        t1 = min(t1, t)
-        t, state = chain(state, n2)
-        t2 = min(t2, t)
-    dt = (t2 - t1) / (n2 - n1)
+        def chain(state, n):
+            t0 = time.perf_counter()
+            logs = None
+            for _ in range(n):
+                state, logs = model._train_step(state, dev_batch)
+            assert np.isfinite(float(jax.device_get(logs["l_all"])))
+            return time.perf_counter() - t0, state
+
+        n1, n2 = 3, 13
+        t1 = t2 = 1e9
+        for _ in range(3):
+            t, state = chain(state, n1)
+            t1 = min(t1, t)
+            t, state = chain(state, n2)
+            t2 = min(t2, t)
+        return (t2 - t1) / (n2 - n1)
+
+    dt32 = measure(None)       # reference recipe precision
+    dt16 = measure("bf16")     # bf16 compute, fp32 params + IN statistics
 
     print(json.dumps({
         "metric": "samples/sec/chip, DepthNet x8 Kvasir training step "
-                  "(bs8, GT 1024^2, L1+dynamic mask, fp32)",
-        "value": round(b / dt, 3),
+                  "(bs8, GT 1024^2, L1+dynamic mask)",
+        "value": round(b / dt32, 3),
         "unit": "samples/sec/chip",
-        "ms_per_step": round(dt * 1e3, 1),
+        "ms_per_step_fp32": round(dt32 * 1e3, 1),
+        "ms_per_step_bf16_compute": round(dt16 * 1e3, 1),
+        "samples_per_sec_bf16_compute": round(b / dt16, 3),
     }))
 
 
