@@ -47,6 +47,7 @@ from endosr.nn.sean import (
     hoisted_blended_mods,
     hoisted_o_branch,
     hoisted_style_branch,
+    pallas_o_branch,
 )
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
@@ -261,6 +262,13 @@ class DepthNet(nn.Module):
     # the op is FLOP-bound and XLA's grouped-conv schedule beats our
     # per-tile matmuls) — so off by default; kept for other shapes/parts.
     fused_modulation: bool = False
+    # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
+    # SEAN depth-map branch — the network's single largest op. Measured
+    # SLOWER than XLA on v5e (15.3 ms vs 6.3 ms in isolation: XLA's grouped
+    # conv runs ~80% MXU and hides the intermediate's HBM round-trip, while
+    # the in-kernel shifted-tap slices cost a relayout per dot), so off by
+    # default; kept tested + gradient-capable for other shapes/hardware.
+    pallas_obranch: bool = False
     pallas_output: bool = True  # fused clip→shuffle→fp32 output stage
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -347,7 +355,18 @@ class DepthNet(nn.Module):
                 weights = []
                 for i in trunk_depth:
                     weights.extend(blocks[i].depth_branch_weights())
-                obs = hoisted_o_branch(weights, dmap, self.dtype)
+                from endosr.kernels.fused_obranch import (
+                    fused_o_branch_supported,
+                )
+
+                if (self.pallas_obranch
+                        and fused_o_branch_supported(*size, self.dtype)):
+                    # fused conv1+ReLU+conv2 per VMEM tile — the N·2C-wide
+                    # intermediate activation never touches HBM (see
+                    # endosr/kernels/fused_obranch.py)
+                    obs = pallas_o_branch(weights, dmap, self.dtype)
+                else:
+                    obs = hoisted_o_branch(weights, dmap, self.dtype)
                 for idx, i in enumerate(trunk_depth):
                     ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
                 if self.hoist_style and not self.ablate_depth_matrix:

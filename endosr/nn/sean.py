@@ -36,7 +36,7 @@ from endosr.nn.layers import Conv, ConvTranspose, instance_norm, torch_conv_init
 from endosr.ops.resize import interpolate_nearest
 
 __all__ = ["SEAN", "hoisted_o_branch", "hoisted_style_branch",
-           "shifted_mask_stack"]
+           "pallas_o_branch", "shifted_mask_stack"]
 
 
 class _ConvParams:
@@ -96,6 +96,34 @@ def hoisted_o_branch(weights, depth_map, dtype):
     ) + b_ob  # [B,h,w,N·2C], instance-major
 
     c = c2 // 2
+    out = []
+    for i in range(n):
+        sl = ob[..., i * c2:(i + 1) * c2]
+        out.append((sl[..., :c], sl[..., c:]))
+    return out
+
+
+def pallas_o_branch(weights, depth_map, dtype):
+    """Drop-in for :func:`hoisted_o_branch` using the fused Pallas kernel
+    (``endosr/kernels/fused_obranch.py``): conv1+ReLU+conv2 per VMEM tile,
+    no HBM round-trip for the [B,H,W,N·2C] intermediate activation.
+
+    Same operands, same math, same return contract (list of (γ_o, β_o)).
+    """
+    from endosr.kernels.fused_obranch import fused_o_branch
+
+    n = len(weights)
+    if n == 0:
+        return []
+    c2 = weights[0][1].shape[-1]
+    c = c2 // 2
+    wm = jnp.stack([w["kernel"].reshape(9, c2).astype(dtype)
+                    for (w, _, _) in weights])
+    bm = jnp.stack([w["bias"].astype(dtype) for (w, _, _) in weights])
+    w2 = jnp.stack([w.reshape(9, c2, c2).astype(dtype)
+                    for (_, w, _) in weights])
+    b2 = jnp.stack([b.astype(dtype) for (_, _, b) in weights])
+    ob = fused_o_branch(depth_map, wm, bm, w2, b2, dtype)
     out = []
     for i in range(n):
         sl = ob[..., i * c2:(i + 1) * c2]
