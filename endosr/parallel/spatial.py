@@ -1,0 +1,125 @@
+"""Spatial (image-height) sharding — the TPU analog of sequence parallelism.
+
+The reference has no long-axis parallelism (SURVEY.md §5: it processes whole
+frames per GPU at fixed sizes). On TPU the natural way to scale the long
+axis — image resolution — is to shard H over the mesh and let XLA's SPMD
+partitioner insert the halo exchanges every convolution needs at shard
+boundaries, the cross-device ``psum``s behind InstanceNorm's spatial
+statistics, and the collectives behind region-wise mask pooling. No manual
+``ppermute`` choreography: the partitioner derives all of it from one
+``NamedSharding`` on the inputs, and the collectives ride ICI.
+
+Use case: frames whose activations exceed one chip's HBM (e.g. ×8 SR of
+large endoscopy stills), or latency-critical single-frame inference where
+batch parallelism gives nothing. For batched throughput, plain data
+parallelism (``endosr/parallel/mesh.py``) is the right axis.
+
+The functions here are model-agnostic: they wrap any ``fn(params, *arrays)``
+whose array arguments are NHWC images sharded on axis 1 (H). Every shipped
+generator qualifies: convs, SEAN/SPADE modulation, pixel-shuffle and
+interpolation are all height-local or reduce over the full image (psum).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from endosr.parallel.mesh import get_mesh
+
+__all__ = ["spatial_jit", "shard_spatial", "spatial_forward"]
+
+
+def _h_sharding(mesh: Mesh, axis: str) -> NamedSharding:
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_spatial(arrays, mesh: Mesh | None = None, axis: str = "data"):
+    """Device-put NHWC arrays with H (axis 1) sharded over the mesh.
+
+    H must divide by the mesh size — callers pad to a multiple first
+    (flagship shapes are powers of two, so this is free in practice).
+    """
+    mesh = mesh or get_mesh()
+    s = _h_sharding(mesh, axis)
+
+    def put(x):
+        assert x.ndim >= 2 and x.shape[1] % mesh.devices.size == 0, (
+            f"H={x.shape[1]} must divide the {mesh.devices.size}-way mesh")
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, arrays)
+
+
+def spatial_jit(fn, mesh: Mesh | None = None, axis: str = "data",
+                n_array_args: int | None = None):
+    """jit ``fn(params, *arrays)`` with every array input/output H-sharded.
+
+    ``params`` (first argument) is replicated; all remaining arguments and
+    all outputs carry ``P(None, axis)``. XLA's SPMD partitioner turns the
+    single-device program into the per-shard program + halo exchanges.
+    """
+    mesh = mesh or get_mesh()
+    s = _h_sharding(mesh, axis)
+    rep = NamedSharding(mesh, P())
+
+    def shardings_for(args):
+        return tuple(jax.tree_util.tree_map(lambda _: s, a) for a in args)
+
+    def wrapped(params, *arrays):
+        return fn(params, *arrays)
+
+    n = n_array_args
+    if n is None:
+        # build lazily at first call so we can mirror the pytree structure
+        _cache = {}
+
+        def call(params, *arrays):
+            key = len(arrays)
+            if key not in _cache:
+                _cache[key] = jax.jit(
+                    wrapped,
+                    in_shardings=(jax.tree_util.tree_map(lambda _: rep, params),
+                                  *shardings_for(arrays)),
+                    out_shardings=s,
+                )
+            return _cache[key](params, *arrays)
+
+        return call
+
+    return jax.jit(
+        wrapped,
+        in_shardings=(rep,) + (s,) * n,
+        out_shardings=s,
+    )
+
+
+def spatial_forward(net, params, lq, depth_map, depth_mask,
+                    mesh: Mesh | None = None, axis: str = "data"):
+    """H-sharded DepthNet-family forward: one call, SPMD over the mesh.
+
+    ``net``: a flax module with ``apply({'params': ...}, lq, depth, mask)``
+    (DepthNet, SFTMD variants, …). Inputs are host or device arrays; they are
+    placed with H sharded, the jitted forward runs with halo exchanges over
+    ICI, and the SR output comes back H-sharded (device_get assembles it).
+    """
+    mesh = mesh or get_mesh()
+    # Degenerate shards silently corrupt strided convs: XLA's halo exchange
+    # reaches only nearest neighbors, and a 3×3 stride-2 conv whose input
+    # shards hold a single row needs rows from TWO devices away (measured:
+    # H=16 over 8 devices diverges by ~9e-2 while H≥24 is exact to 3e-8).
+    # The shipped generators downsample H by ≤4 before any strided conv's
+    # input, so H ≥ 4·mesh keeps every such input at ≥2 rows per shard.
+    n = mesh.devices.size
+    assert lq.shape[1] >= 4 * n, (
+        f"spatial sharding needs H ≥ 4·mesh ({4 * n}), got {lq.shape[1]} — "
+        "smaller frames don't need sharding; run them on one chip")
+    fwd = spatial_jit(
+        lambda p, a, d, m: net.apply({"params": p}, a, d, m),
+        mesh=mesh, axis=axis, n_array_args=3,
+    )
+    lq, depth_map, depth_mask = shard_spatial(
+        (lq, depth_map, depth_mask), mesh, axis)
+    return fwd(params, lq, depth_map, depth_mask)

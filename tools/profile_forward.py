@@ -23,6 +23,17 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _trace_ctx(outdir):
+    """jax.profiler.trace with the python tracer off — the host-side python
+    events otherwise flood the 1M-event trace cap and evict every device
+    event on long programs (observed on the train step)."""
+    import jax
+
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    return jax.profiler.trace(outdir, profiler_options=opts)
+
+
 def run_traced(outdir: str, train: bool):
     from endosr.utils.cache import enable_compilation_cache
 
@@ -52,7 +63,7 @@ def run_traced(outdir: str, train: bool):
         state = model.state
         state, logs = model._train_step(state, batch)  # compile
         float(jax.device_get(logs["l_all"]))
-        with jax.profiler.trace(outdir):
+        with _trace_ctx(outdir):
             for _ in range(6):
                 state, logs = model._train_step(state, batch)
             float(jax.device_get(logs["l_all"]))
@@ -73,7 +84,7 @@ def run_traced(outdir: str, train: bool):
     acc = jnp.float32(0.0)
     acc = step(params, lq, acc)  # compile
     float(jax.device_get(acc))
-    with jax.profiler.trace(outdir):
+    with _trace_ctx(outdir):
         for _ in range(6):
             acc = step(params, lq, acc)
         float(jax.device_get(acc))
