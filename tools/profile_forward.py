@@ -53,7 +53,10 @@ def run_traced(outdir: str, train: bool):
         from endosr.models.f_depthcond import FModelDepthCond
         from endosr.parallel.mesh import shard_batch
 
-        model = FModelDepthCond(dict_to_nonedict(_flagship_opt(128, 10, 8)))
+        opt = _flagship_opt(128, 10, 8)
+        if os.environ.get("ENDOSR_PROFILE_BF16"):
+            opt["precision"] = "bf16"
+        model = FModelDepthCond(dict_to_nonedict(opt))
         batch = shard_batch({
             "LQ": np.asarray(lq), "GT": rng.random(
                 (B, 1024, 1024, 3)).astype(np.float32),
