@@ -104,27 +104,43 @@ def parse_trace(outdir: str, nsteps: int, top: int = 40):
     with gzip.open(path, "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device-side events: pid whose thread names look like TensorFlow Op/XLA
-    # streams. Aggregate complete events (ph == 'X') by name.
+    # Aggregate device-side op events (ph == 'X') by fusion name. The
+    # "Steps" / "XLA Modules" tracks carry whole-program spans (the true
+    # per-step device time) — report those separately, not in the op table.
     durs = defaultdict(float)
     counts = defaultdict(int)
-    pids_meta = {}
+    pids_meta, tids_meta = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids_meta[e.get("pid")] = e.get("args", {}).get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids_meta[(e.get("pid"), e.get("tid"))] = e.get(
+                "args", {}).get("name", "")
     device_pids = {p for p, n in pids_meta.items()
                    if "TPU" in n or "/device" in n.lower()}
+    step_total = 0.0
+    step_count = 0
     for e in events:
         if e.get("ph") != "X":
             continue
         if device_pids and e.get("pid") not in device_pids:
+            continue
+        track = str(tids_meta.get((e.get("pid"), e.get("tid")), ""))
+        if track == "Steps":
+            step_total += float(e.get("dur", 0.0))
+            step_count += 1
+            continue
+        if track == "XLA Modules":
             continue
         name = e.get("name", "?")
         durs[name] += float(e.get("dur", 0.0))
         counts[name] += 1
     total = sum(durs.values())
     print(f"trace: {path}")
-    print(f"device total: {total / 1e3 / nsteps:.3f} ms/step over {nsteps} steps")
+    if step_count:
+        print(f"device step time: {step_total / 1e3 / step_count:.3f} ms "
+              f"({step_count} steps)")
+    print(f"op total: {total / 1e3 / nsteps:.3f} ms/step over {nsteps} steps")
     print(f"{'us/step':>10s} {'count':>6s}  name")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{d / nsteps:10.1f} {counts[name]:6d}  {name[:110]}")
