@@ -394,8 +394,61 @@ class DepthNet(nn.Module):
 
         feat_add1 = fea_in + fea_bef  # global skip
 
+        final_scale = 3 if self.scale == 3 else 2
+        # ×8 upscale1-defer: the 32-channel tensors between upscale1 and
+        # upscale2 are lane-padded 4× (32 of 128 lanes) and their convs
+        # measure <20% of MXU peak. When block nb-2 is classic (every
+        # shipped config), defer upscale1's PixelShuffle too: upscale1_3,
+        # block 15 and upscale2_0 run folded at LR² with 128–512 channels
+        # (full lanes), then ONE explicit PS(2) rejoins the r=2 tail below.
+        # Exact math (fold_kernel_through_pixel_shuffle); parity-tested.
+        fold1 = (self.scale == 8 and bool(self.fold_tail)
+                 and self.fold_output_conv and (nb - 2) not in which
+                 and (nb - 1) not in which)
+
+        if self.scale == 8 and fold1:
+            h = leaky_relu(WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1))
+            # upscale1_3 folded through the pending PS(2): 256→128 at LR².
+            # WNConvParams registers the identical {v,g,bias} subtree a
+            # WNConv child would, so checkpoints are unaffected.
+            p13 = self.param(
+                "upscale1_3",
+                WNConvParams(64 * 9, (3, 3, 64, 32), self.param_dtype),
+            )
+            w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
+            z = leaky_relu(_conv_dt(h, w13, b13, self.dtype))
+            # classic block 15 (blocks[nb-2]) folded by 2
+            (wb0, bb0), (wb2, bb2) = blocks[nb - 2].effective_weights()
+            wb0, bb0 = _fold_wb(wb0, bb0, 2)
+            wb2, bb2 = _fold_wb(wb2, bb2, 2)
+            t = nn.relu(_conv_dt(z, wb0, bb0, self.dtype))
+            z = nn.relu(z + _conv_dt(t, wb2, bb2, self.dtype))
+            # upscale2_0 folded by 2 (native 32→128): 128→512 at LR², then
+            # the deferred upscale1 shuffle is applied for real — its output
+            # channel layout is already canonical PS(2)
+            p20 = self.param(
+                "upscale2_0",
+                WNConvParams(32 * 9, (3, 3, 32, 32 * 4), self.param_dtype),
+            )
+            w20, b20 = _fold_wb(*wn_effective_kernel(p20), 2)
+            z = leaky_relu(_conv_dt(z, w20, b20, self.dtype))
+            z = pixel_shuffle(z, 2)
+            r = 2
+            p23 = self.param(
+                "upscale2_3", WNConvParams(32 * 9, (3, 3, 32, 32), self.param_dtype)
+            )
+            w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
+            z = leaky_relu(_conv_dt(z, w23, b23, self.dtype))
+            # classic block 16 (blocks[nb-1]) with both convs folded by r
+            (wc0, bc0), (wc2, bc2) = blocks[nb - 1].effective_weights()
+            wc0, bc0 = _fold_wb(wc0, bc0, r)
+            wc2, bc2 = _fold_wb(wc2, bc2, r)
+            t = nn.relu(_conv_dt(z, wc0, bc0, self.dtype))
+            z = nn.relu(z + _conv_dt(t, wc2, bc2, self.dtype))
+            return self._folded_head(z, r, final_scale)
+
         # upscale1 (×8 only): 64→256 → PS(2) → 64→32 — kept at real
-        # resolution (cheap at LR²); the expensive later stages defer theirs.
+        # resolution; the expensive later stages defer theirs.
         if self.scale == 8:
             h = leaky_relu(WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1))
             h = pixel_shuffle(h, 2)
@@ -404,8 +457,6 @@ class DepthNet(nn.Module):
             feat_up1 = feat_add1
 
         feat_up1 = run_block(nb - 2, feat_up1)
-
-        final_scale = 3 if self.scale == 3 else 2
         # Deferred-shuffle tail: convs at SR resolution with 32 channels run
         # the MXU at ≤25% occupancy and the 9×9/3-channel head at <10%, so
         # every pixel-shuffle from upscale2 on is DEFERRED — each conv's
@@ -449,60 +500,23 @@ class DepthNet(nn.Module):
         else:
             z = run_block(nb - 1, z)
 
+        if fold:
+            return self._folded_head(z, r, final_scale)
+
         # upscale3: ch→32·fs² → PS(fs)
-        cin30 = z.shape[-1] // (r * r)
         p30 = self.param(
             "upscale3_0",
-            WNConvParams(cin30 * 9, (3, 3, cin30, 32 * final_scale ** 2),
+            WNConvParams(z.shape[-1] * 9,
+                         (3, 3, z.shape[-1], 32 * final_scale ** 2),
                          self.param_dtype),
         )
-        w30, b30 = _fold_wb(*wn_effective_kernel(p30), r)
-
-        def init_head(rng):
-            import jax as _jax
-
-            k1, k2 = _jax.random.split(rng)
-            init = torch_conv_init(32 * 81)
-            return {
-                "kernel": init(k1, (9, 9, 32, self.out_nc), self.param_dtype),
-                "bias": init(k2, (self.out_nc,), self.param_dtype),
-            }
-
-        if fold:
-            # defer upscale3's shuffle too: permute the conv's folded output
-            # channels into canonical PS(r·fs) layout (zero runtime cost)
-            perm = compose_pixel_shuffle_perm(
-                r, final_scale, 32 * final_scale ** 2 * r * r
-            )
-            z = _conv_dt(z, w30[..., perm], b30[perm], self.dtype)
-            r *= final_scale
-            head = self.param("conv_output", init_head)
-            wh, bh = _fold_wb(
-                head["kernel"].astype(jnp.float32),
-                head["bias"].astype(jnp.float32), r,
-            )
-            pre = _conv_dt(leaky_relu(z), wh, bh, self.dtype)
-            # clip commutes with the shuffle and with the fp32 convert
-            # (0/1 exact in bf16); the fused Pallas output stage emits the
-            # shuffled fp32 rows directly (vs XLA's convert+layout copies:
-            # 41.4 -> 39.7 ms end-to-end at the flagship shape, bit-exact)
-            if self.pallas_output:
-                from endosr.kernels.output_stage import output_stage
-
-                flat = output_stage(pre, r, self.clamp_min, self.clamp_max)
-                b_, hr = flat.shape[0], flat.shape[1]
-                return flat.reshape(b_, hr, -1, self.out_nc)
-            out = pixel_shuffle(
-                jnp.clip(pre, self.clamp_min, self.clamp_max), r
-            )
-            return out.astype(jnp.float32)
-
+        w30, b30 = wn_effective_kernel(p30)
         h = _conv_dt(z, w30, b30, self.dtype)
         if self.fold_output_conv:
             # fold only the head through the final shuffle (the ×8/×4
             # mid-tail shuffles were already applied for real above)
             fs = final_scale
-            head = self.param("conv_output", init_head)
+            head = self.param("conv_output", self._init_head)
             wh, bh = _fold_wb(
                 head["kernel"].astype(jnp.float32),
                 head["bias"].astype(jnp.float32), fs,
@@ -512,3 +526,57 @@ class DepthNet(nn.Module):
             feat_up3 = leaky_relu(pixel_shuffle(h, final_scale))
             out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(feat_up3)
         return jnp.clip(out.astype(jnp.float32), self.clamp_min, self.clamp_max)
+
+    def _init_head(self, rng):
+        import jax as _jax
+
+        k1, k2 = _jax.random.split(rng)
+        init = torch_conv_init(32 * 81)
+        return {
+            "kernel": init(k1, (9, 9, 32, self.out_nc), self.param_dtype),
+            "bias": init(k2, (self.out_nc,), self.param_dtype),
+        }
+
+    def _folded_head(self, z, r, final_scale):
+        """upscale3 + 9×9 head with every pending shuffle deferred.
+
+        ``z``: folded tail features at SR/(r·fs) resolution with channels in
+        canonical PS(r) layout. Folds upscale3_0 and the head through the
+        pending shuffles (compose_pixel_shuffle_perm keeps the layout
+        canonical), then emits the clipped fp32 SR image in one
+        Pallas output-stage pass (or XLA shuffle+clip when disabled).
+        """
+        cin30 = z.shape[-1] // (r * r)
+        p30 = self.param(
+            "upscale3_0",
+            WNConvParams(cin30 * 9, (3, 3, cin30, 32 * final_scale ** 2),
+                         self.param_dtype),
+        )
+        w30, b30 = _fold_wb(*wn_effective_kernel(p30), r)
+        # defer upscale3's shuffle too: permute the conv's folded output
+        # channels into canonical PS(r·fs) layout (zero runtime cost)
+        perm = compose_pixel_shuffle_perm(
+            r, final_scale, 32 * final_scale ** 2 * r * r
+        )
+        z = _conv_dt(z, w30[..., perm], b30[perm], self.dtype)
+        r *= final_scale
+        head = self.param("conv_output", self._init_head)
+        wh, bh = _fold_wb(
+            head["kernel"].astype(jnp.float32),
+            head["bias"].astype(jnp.float32), r,
+        )
+        pre = _conv_dt(leaky_relu(z), wh, bh, self.dtype)
+        # clip commutes with the shuffle and with the fp32 convert
+        # (0/1 exact in bf16); the fused Pallas output stage emits the
+        # shuffled fp32 rows directly (vs XLA's convert+layout copies:
+        # 41.4 -> 39.7 ms end-to-end at the flagship shape, bit-exact)
+        if self.pallas_output:
+            from endosr.kernels.output_stage import output_stage
+
+            flat = output_stage(pre, r, self.clamp_min, self.clamp_max)
+            b_, hr = flat.shape[0], flat.shape[1]
+            return flat.reshape(b_, hr, -1, self.out_nc)
+        out = pixel_shuffle(
+            jnp.clip(pre, self.clamp_min, self.clamp_max), r
+        )
+        return out.astype(jnp.float32)
