@@ -22,8 +22,6 @@ interpolation are all height-local or reduce over the full image (psum).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
