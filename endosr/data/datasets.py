@@ -169,14 +169,13 @@ class LQGTKerDepthDataset(_Base):
             img_LR = channel_convert(img_LR.shape[2], opt["color"], [img_LR])[0]
             img_GT = channel_convert(img_GT.shape[2], opt["color"], [img_GT])[0]
 
-        # BGR → RGB
-        if img_GT.shape[2] == 3:
-            img_GT = img_GT[:, :, ::-1]
-            img_LR = img_LR[:, :, ::-1]
+        # BGR → RGB (cv2 SIMD path for the contiguous 3-channel case)
+        img_LR = util.bgr_to_rgb_f32(img_LR)
+        img_GT = util.bgr_to_rgb_f32(img_GT)
 
         return {
-            "LQ": np.ascontiguousarray(img_LR, np.float32),
-            "GT": np.ascontiguousarray(img_GT, np.float32),
+            "LQ": img_LR,
+            "GT": img_GT,
             "Depth": np.ascontiguousarray(depth_map, np.float32),
             "DepthMaskList": np.ascontiguousarray(mask_list, np.float32),
             "LQ_path": LR_path,
@@ -258,13 +257,12 @@ class EndoSceneDepthDataset(_Base):
         if seg is not None:
             seg = arrays[4]
 
-        if img_GT.shape[2] == 3:
-            img_GT = img_GT[:, :, ::-1]
-            img_LR = img_LR[:, :, ::-1]
+        img_LR = util.bgr_to_rgb_f32(img_LR)
+        img_GT = util.bgr_to_rgb_f32(img_GT)
 
         out = {
-            "LQ": np.ascontiguousarray(img_LR, np.float32),
-            "GT": np.ascontiguousarray(img_GT, np.float32),
+            "LQ": img_LR,
+            "GT": img_GT,
             "Depth": np.ascontiguousarray(depth_map, np.float32),
             "DepthMaskList": np.ascontiguousarray(mask_list, np.float32),
             "LQ_path": self.LR_paths[index] if self.LR_paths else self.GT_paths[index],
@@ -337,12 +335,11 @@ class LQGTKerDataset(_Base):
                 [img_LR, img_GT], opt.get("use_flip", False),
                 opt.get("use_rot", False), self.rng,
             )
-        if img_GT.shape[2] == 3:
-            img_GT = img_GT[:, :, ::-1]
-            img_LR = img_LR[:, :, ::-1]
+        img_LR = util.bgr_to_rgb_f32(img_LR)
+        img_GT = util.bgr_to_rgb_f32(img_GT)
         return {
-            "LQ": np.ascontiguousarray(img_LR, np.float32),
-            "GT": np.ascontiguousarray(img_GT, np.float32),
+            "LQ": img_LR,
+            "GT": img_GT,
             "LQ_path": LR_path,
             "GT_path": GT_path,
         }
@@ -359,9 +356,7 @@ class LQDataset(_Base):
     def __getitem__(self, index):
         LR_path = self.LR_paths[index]
         img_LR = self._read_img(LR_path)
-        if img_LR.shape[2] == 3:
-            img_LR = img_LR[:, :, ::-1]
-        return {"LQ": np.ascontiguousarray(img_LR, np.float32), "LQ_path": LR_path}
+        return {"LQ": util.bgr_to_rgb_f32(img_LR), "LQ_path": LR_path}
 
 
 class LQKerDataset(LQDataset):
@@ -390,9 +385,7 @@ class SRKerDataset(_Base):
     def __getitem__(self, index):
         SR_path = self.SR_paths[index]
         img_SR = util.read_img(None, SR_path)
-        if img_SR.shape[2] == 3:
-            img_SR = img_SR[:, :, ::-1]
-        item = {"SR": np.ascontiguousarray(img_SR, np.float32), "SR_path": SR_path}
+        item = {"SR": util.bgr_to_rgb_f32(img_SR), "SR_path": SR_path}
         if self.est_ker_map_list is not None:
             item["est_ker_map"] = np.asarray(self.est_ker_map_list[index], np.float32)
         return item
@@ -502,13 +495,12 @@ class LRHRSegBGDataset(_Base):
         else:
             category = -1
 
-        if img_HR.shape[2] == 3:
-            img_HR = img_HR[:, :, ::-1]
-            img_LR = img_LR[:, :, ::-1]
+        img_HR = util.bgr_to_rgb_f32(img_HR)
+        img_LR = util.bgr_to_rgb_f32(img_LR)
         return {
-            "LR": np.ascontiguousarray(img_LR, np.float32),
-            "HR": np.ascontiguousarray(img_HR, np.float32),
-            "GT": np.ascontiguousarray(img_HR, np.float32),
+            "LR": img_LR,
+            "HR": img_HR,
+            "GT": img_HR.copy(),
             "seg": np.ascontiguousarray(seg, np.float32),
             "category": np.int64(category),
             "LR_path": LR_path or HR_path,
