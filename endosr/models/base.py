@@ -42,6 +42,9 @@ class BaseModel:
         self.schedule = None
         if self.is_train and opt.get("train"):
             self.schedule = build_schedule(opt["train"])
+        # YAML-selectable checkpoint backend (msgpack file / orbax dir)
+        if opt.get("path"):
+            ckpt.set_backend(opt["path"].get("checkpoint_backend"))
 
     # ------------------------------------------------------------------
     # contract stubs

@@ -9,6 +9,14 @@ parallelism); everyone can read.
 
 Torch ``.pth`` checkpoints are loaded transparently through the porter
 (``endosr.utils.port_torch``) when the file extension is ``.pth``.
+
+Backends: the default writes single msgpack files (atomic rename). Set
+``path: {checkpoint_backend: orbax}`` in the YAML (or
+``ENDOSR_CKPT_BACKEND=orbax``) to write orbax-checkpoint directories
+instead — the production choice for sharded/multi-host arrays. Loading
+autodetects: a directory restores through orbax, a file through msgpack,
+``.pth`` through the torch porter — so checkpoints from either backend
+(or the reference) interchange freely.
 """
 
 from __future__ import annotations
@@ -21,7 +29,17 @@ import numpy as np
 from flax import serialization
 
 __all__ = ["save_pytree", "load_pytree", "save_network", "load_network",
-           "save_training_state", "load_training_state"]
+           "save_training_state", "load_training_state", "set_backend"]
+
+_BACKEND = os.environ.get("ENDOSR_CKPT_BACKEND", "msgpack")
+
+
+def set_backend(name: str | None) -> None:
+    """Select the save backend: 'msgpack' (default) or 'orbax'."""
+    global _BACKEND
+    if name:
+        assert name in ("msgpack", "orbax"), name
+        _BACKEND = name
 
 
 def _to_host(tree):
@@ -30,6 +48,21 @@ def _to_host(tree):
 
 def save_pytree(tree: Any, path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if _BACKEND == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        if os.path.isdir(path):  # orbax refuses to overwrite
+            import shutil
+
+            shutil.rmtree(path)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            # canonical flax state-dict form (pure nested containers) so the
+            # restore side round-trips through from_state_dict regardless of
+            # the original pytree's custom node types (TrainState, optax
+            # namedtuples, …)
+            ckptr.save(path, serialization.to_state_dict(_to_host(tree)))
+        return
     data = serialization.to_bytes(_to_host(tree))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -38,6 +71,12 @@ def save_pytree(tree: Any, path: str) -> None:
 
 
 def load_pytree(path: str, target: Any) -> Any:
+    if os.path.isdir(path):  # an orbax checkpoint directory
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path))
+        return serialization.from_state_dict(target, restored)
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(target, data)
