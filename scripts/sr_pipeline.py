@@ -91,6 +91,10 @@ def main(argv=None):
     ap.add_argument("--nb", type=int, default=16)
     ap.add_argument("--latent", type=int, default=256)
     ap.add_argument("--fixed_range", action="store_true", default=True)
+    ap.add_argument("--spatial", action="store_true",
+                    help="shard each frame's height across all devices "
+                         "(XLA SPMD halo exchange; for frames too large "
+                         "for one chip — needs H >= 4x device count)")
     args = ap.parse_args(argv)
 
     import cv2
@@ -124,8 +128,21 @@ def main(argv=None):
                 "Depth": np.stack([c[2] for c in chunk]).astype(np.float32),
                 "DepthMaskList": np.stack([c[3] for c in chunk]).astype(np.float32),
             }
-            model.feed_data(batch)
-            model.test()
+            if args.spatial:
+                import jax
+
+                from endosr.parallel.mesh import make_mesh
+                from endosr.parallel.spatial import spatial_forward
+
+                out = spatial_forward(
+                    model.netG, model.state.params["netG"], batch["LQ"],
+                    batch["Depth"], batch["DepthMaskList"],
+                    mesh=make_mesh(),
+                )
+                model.fake_SR = np.asarray(jax.device_get(out))
+            else:
+                model.feed_data(batch)
+                model.test()
             for j, (stem, *_rest) in enumerate(chunk):
                 sr = tensor2img(model.fake_SR[j])
                 save_img(sr, os.path.join(args.output, stem + ".png"))
