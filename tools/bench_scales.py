@@ -1,0 +1,87 @@
+"""Per-recipe inference benchmark: DepthNet fps/chip at every shipped scale.
+
+bench.py covers the ×8 Kvasir north-star config; this tool measures the
+other recipes' inference shapes (reference YAML sources):
+
+  ×2 Kvasir    LR 512 → 1024, depth_latent_ch 32   (train_..._x2.yml)
+  ×4 Kvasir    LR 256 → 1024, latent 256           (train_..._x4.yml)
+  ×3 EndoScene LR 128 → 384,  latent 256           (train_..._endoscene_x3.yml)
+  ×8 Kvasir    LR 128 → 1024, latent 256           (bench.py twin, for reference)
+
+Timing: chained difference-quotient on the attached TPU, bf16 compute
+(fp32 IN statistics). Prints one JSON line per scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CONFIGS = [
+    # (scale, LR size, latent, batch) — batch follows each recipe's YAML;
+    # the ×2 trunk runs at LR 512² where the hoisted [B,H,W,26·128]
+    # modulation maps are 1.7 GB per copy at bs2 (bs8 would not fit HBM)
+    (2, 512, 32, 2),
+    (3, 128, 256, 4),
+    (4, 256, 256, 8),
+    (8, 128, 256, 8),
+]
+
+
+def main():
+    from endosr.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.nn.depthnet import DepthNet
+
+    for scale, lr, latent, b in CONFIGS:
+        rng = np.random.default_rng(0)
+        lq = jnp.asarray(rng.random((b, lr, lr, 3), dtype=np.float32))
+        dep = jnp.asarray(rng.random((b, lr, lr, 1), dtype=np.float32))
+        masks = np.zeros((b, lr, lr, 10), np.float32)
+        bins = rng.integers(0, 10, (b, lr, lr))
+        for k in range(10):
+            masks[..., k] = bins == k
+        mk = jnp.asarray(masks)
+
+        net = DepthNet(which_resblk_depth=tuple(range(14)), scale=scale,
+                       depth_latent_ch=latent, depth_range_num=10,
+                       dtype=jnp.bfloat16)
+        params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+
+        @jax.jit
+        def step(params, lq, acc, net=net, dep=dep, mk=mk):
+            out = net.apply({"params": params}, lq + acc * 0.0, dep, mk)
+            return acc + jnp.mean(out) * 1e-12
+
+        def run(n):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                acc = step(params, lq, acc)
+            v = jax.device_get(acc)
+            assert np.isfinite(v)
+            return time.perf_counter() - t0
+
+        run(2)
+        t1 = min(run(4) for _ in range(3))
+        t2 = min(run(14) for _ in range(3))
+        per = (t2 - t1) / 10
+        print(json.dumps({
+            "scale": scale, "lr_size": lr, "latent": latent, "batch": b,
+            "ms_per_batch": round(per * 1e3, 2),
+            "fps_per_chip": round(b / per, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
