@@ -123,25 +123,42 @@ class ShardedLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in batches:
-                    q.put(_stack([self.dataset[int(i)] for i in b]))
+                    if not put(_stack([self.dataset[int(i)] for i in b])):
+                        return  # consumer abandoned the iterator
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # unblock + drain the producer so an abandoned iterator doesn't
+            # leave a thread parked on a full queue into interpreter exit
+            abandoned.set()
+            t.join(timeout=5)
 
 
     def _iter_multiprocess(self, batches):
