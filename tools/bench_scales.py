@@ -10,6 +10,13 @@ other recipes' inference shapes (reference YAML sources):
 
 Timing: chained difference-quotient on the attached TPU, bf16 compute
 (fp32 IN statistics). Prints one JSON line per scale.
+
+Quality note: the bf16 path is quality-certified at ×4/×8
+(tests/test_bf16_quality.py; bench.py re-certifies ×8 in-run at 62 dB
+mismatch-PSNR). At ×2/×3 the random-init proxy shows InstanceNorm
+amplifying bf16 rounding beyond the 0.05 dB budget — certify against
+trained weights before serving bf16 at those scales (the serving default
+is fp32; these rows are throughput upper bounds for the bf16 path).
 """
 
 from __future__ import annotations
