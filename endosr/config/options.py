@@ -138,6 +138,29 @@ def dict_to_nonedict(opt):
     return opt
 
 
+def resolve_resume_state(opt: dict):
+    """Resolve ``path.resume_state``, expanding the ``auto`` convenience.
+
+    ``resume_state: auto`` picks the newest ``<iter>.state`` in the
+    experiment's ``training_state`` dir (no-op on a fresh run) — the
+    crash-recovery restart loop the reference lacks (its resume is a
+    manual path, ``codes/options/options.py:115-129``). Returns the
+    resolved path (or None) and writes it back into the opt dict.
+    """
+    resume_path = opt["path"].get("resume_state")
+    if resume_path == "auto":
+        state_dir = opt["path"].get("training_state") or osp.join(
+            opt["path"]["experiments_root"], "training_state")
+        states = sorted(
+            (f for f in os.listdir(state_dir) if f.endswith(".state")
+             and f.split(".")[0].isdigit()),
+            key=lambda f: int(f.split(".")[0]),
+        ) if osp.isdir(state_dir) else []
+        resume_path = osp.join(state_dir, states[-1]) if states else None
+        opt["path"]["resume_state"] = resume_path
+    return resume_path
+
+
 def check_resume(opt: dict, resume_iter: int) -> None:
     """Rewrite pretrain paths when resuming (``options.py:115-129``)."""
     if opt["path"].get("resume_state"):

@@ -179,3 +179,27 @@ def test_prefetch_to_device():
     np.testing.assert_array_equal(
         np.asarray(got[0]["x"]), np.arange(8, dtype=np.float32)[:, None].repeat(4, 1).reshape(8, 4) * 0 + np.arange(8)[:, None]
     )
+
+
+def test_resolve_resume_state_auto(tmp_path):
+    from endosr.config.options import resolve_resume_state
+
+    state_dir = tmp_path / "training_state"
+    opt = {"path": {"resume_state": "auto",
+                    "experiments_root": str(tmp_path),
+                    "training_state": str(state_dir)}}
+    # fresh run: no dir yet -> None
+    assert resolve_resume_state(opt) is None
+    assert opt["path"]["resume_state"] is None
+
+    state_dir.mkdir()
+    for it in (500, 1500, 1000):
+        (state_dir / f"{it}.state").write_bytes(b"x")
+    (state_dir / "junk.state.tmp").write_bytes(b"x")
+    opt["path"]["resume_state"] = "auto"
+    assert resolve_resume_state(opt).endswith("1500.state")
+    assert opt["path"]["resume_state"].endswith("1500.state")
+
+    # explicit paths pass through untouched
+    opt["path"]["resume_state"] = str(state_dir / "500.state")
+    assert resolve_resume_state(opt).endswith("500.state")

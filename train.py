@@ -57,7 +57,7 @@ def main():
     # resume state
     resume_iter = 0
     start_epoch = 0
-    resume_path = opt_F["path"].get("resume_state")
+    resume_path = option.resolve_resume_state(opt_F)
     if resume_path:
         resume_iter = int(os.path.basename(resume_path).split(".")[0])
         option.check_resume(opt_F, resume_iter)
@@ -131,6 +131,12 @@ def main():
     print_freq = int(opt_F["logger"]["print_freq"])
     val_freq = int(opt_F["train"]["val_freq"])
     save_freq = int(opt_F["logger"]["save_checkpoint_freq"])
+    # logger.profile_iter: N — capture a device trace over steps N..N+2
+    # into <experiment>/profile (inspect with tools/profile_forward.py
+    # --parse-only or TensorBoard). The python tracer is disabled so host
+    # events can't evict device events from the trace cap.
+    profile_iter = int(opt_F["logger"].get("profile_iter") or 0)
+    profile_dir = os.path.join(opt_F["path"]["experiments_root"], "profile")
 
     from endosr.data import prefetch_to_device
 
@@ -142,6 +148,16 @@ def main():
             current_step += 1
             if current_step > total_iters:
                 break
+
+            if profile_iter and rank == 0:
+                if current_step == profile_iter:
+                    popts = jax.profiler.ProfileOptions()
+                    popts.python_tracer_level = 0
+                    jax.profiler.start_trace(profile_dir,
+                                             profiler_options=popts)
+                elif current_step == profile_iter + 3:
+                    jax.profiler.stop_trace()
+                    logger.info("device trace written to %s", profile_dir)
 
             model.feed_data(batch)
             model.optimize_parameters(current_step)
