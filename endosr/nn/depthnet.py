@@ -269,7 +269,12 @@ class DepthNet(nn.Module):
     # the in-kernel shifted-tap slices cost a relayout per dot), so off by
     # default; kept tested + gradient-capable for other shapes/hardware.
     pallas_obranch: bool = False
-    pallas_output: bool = True  # fused clip→shuffle→fp32 output stage
+    # Pallas fused clip→shuffle→fp32 output stage. Was a measured win over
+    # the round-2 tail (41.4 → 39.7 ms), but after the upscale1-deferred
+    # tail rework XLA emits the shuffle+convert at full bandwidth (0.1 ms
+    # isolated) while the kernel's 12-lane output rows pad 10× in VMEM/HBM:
+    # re-measured 37.1 vs 33.7 ms end-to-end, bit-identical — so now OFF.
+    pallas_output: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
