@@ -133,7 +133,15 @@ class FModelDepthCond(BaseModel):
 
     # ------------------------------------------------------------------
     def _build_train_step(self):
+        # Program specialization: the fused Pallas output stage loses to
+        # XLA's shuffle+convert in the ×8 inference program (33.5 vs
+        # 37.1 ms) but wins inside the training program (bf16 step 127.0
+        # vs 135.9 ms) — so the train step gets its own module clone with
+        # the kernel forced on, while test()/serving keep the
+        # inference-optimal default. Params are identical either way.
         netG = self.netG
+        if hasattr(netG, "pallas_output"):
+            netG = netG.clone(pallas_output=True)
 
         def loss_fn(params, batch):
             fake_h = netG.apply(

@@ -269,12 +269,13 @@ class DepthNet(nn.Module):
     # the in-kernel shifted-tap slices cost a relayout per dot), so off by
     # default; kept tested + gradient-capable for other shapes/hardware.
     pallas_obranch: bool = False
-    # Pallas fused clip→shuffle→fp32 output stage. Was a measured win over
-    # the round-2 tail (41.4 → 39.7 ms), but after the upscale1-deferred
-    # tail rework XLA emits the shuffle+convert at full bandwidth (0.1 ms
-    # isolated) while the kernel's 12-lane output rows pad 10× in VMEM/HBM:
-    # re-measured 37.1 vs 33.7 ms end-to-end, bit-identical — so now OFF.
-    pallas_output: bool = False
+    # Pallas fused clip→shuffle→fp32 output stage. Scale-split measured on
+    # v5e (bit-identical outputs either way): at ×4/×8 XLA emits the final
+    # shuffle+convert at full bandwidth and the kernel's narrow-lane output
+    # rows pad 10× (×8: 33.5 vs 37.1 ms end-to-end — kernel LOSES), while
+    # at ×2/×3 the kernel still wins (×2: 326 vs 366 ms, ×3: 28.0 vs
+    # 29.7 ms). "auto" = on for scale < 4, off otherwise; booleans force.
+    pallas_output: Any = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -572,10 +573,11 @@ class DepthNet(nn.Module):
         )
         pre = _conv_dt(leaky_relu(z), wh, bh, self.dtype)
         # clip commutes with the shuffle and with the fp32 convert
-        # (0/1 exact in bf16); the fused Pallas output stage emits the
-        # shuffled fp32 rows directly (vs XLA's convert+layout copies:
-        # 41.4 -> 39.7 ms end-to-end at the flagship shape, bit-exact)
-        if self.pallas_output:
+        # (0/1 exact in bf16); see the pallas_output flag for the measured
+        # per-scale split between the fused kernel and the XLA lowering
+        use_pallas = (self.pallas_output if isinstance(self.pallas_output, bool)
+                      else self.scale < 4)
+        if use_pallas:
             from endosr.kernels.output_stage import output_stage
 
             flat = output_stage(pre, r, self.clamp_min, self.clamp_max)
