@@ -262,6 +262,15 @@ class DepthNet(nn.Module):
     # the op is FLOP-bound and XLA's grouped-conv schedule beats our
     # per-tile matmuls) — so off by default; kept for other shapes/parts.
     fused_modulation: bool = False
+    # Gradient rematerialization for memory-bound training shapes: wraps
+    # every trunk block in nn.remat so the backward recomputes block
+    # internals instead of storing them, and disables the SEAN-branch
+    # hoisting (hoisted [B,H,W,N·2C] modulation maps would be saved for
+    # the backward whole — at the ×2 recipe's LR 512² that alone is
+    # ~7 GB and the full step needs 28.8 G vs 16 G HBM). Each rematted
+    # block recomputes only its own two SEAN branches. Set
+    # ``network_G: {remat_blocks: true}`` for large-LR training recipes.
+    remat_blocks: bool = False
     # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
     # SEAN depth-map branch — the network's single largest op. Measured
     # SLOWER than XLA on v5e (15.3 ms vs 6.3 ms in isolation: XLA's grouped
@@ -309,10 +318,12 @@ class DepthNet(nn.Module):
         def block_ch(i: int) -> int:
             return 32 if i > nb - num_last_block else self.nf
 
+        depth_block_cls = (nn.remat(DepthResidualBlock) if self.remat_blocks
+                           else DepthResidualBlock)
         blocks = {}
         for i in [*range(nb - 3), nb - 2, nb - 1]:
             if i in which:
-                blocks[i] = DepthResidualBlock(
+                blocks[i] = depth_block_cls(
                     nf=block_ch(i),
                     depth_latent_ch=self.depth_latent_ch,
                     depth_range_num=self.depth_range_num,
@@ -338,7 +349,7 @@ class DepthNet(nn.Module):
         ob_map: dict[int, tuple] = {}
         sb_map: dict[int, tuple] = {}
         mod_map: dict[int, tuple] = {}
-        if trunk_depth and not self.ablate_depth_block:
+        if trunk_depth and not self.ablate_depth_block and not self.remat_blocks:
             size = (feat_downscaled.shape[1], feat_downscaled.shape[2])
             dmap = interpolate_nearest(depth_map, size)
             can_fuse = (self.fused_modulation and not self.ablate_depth_matrix

@@ -47,6 +47,7 @@ def define_G(opt, dtype=jnp.float32):
             norm_beta=float(opt_net.get("norm_beta") or 0.0),
             ablate_depth_matrix=bool(opt_net.get("ablate_depth_matrix", False)),
             ablate_depth_block=bool(opt_net.get("ablate_depth_block", False)),
+            remat_blocks=bool(opt_net.get("remat_blocks", False)),
             dtype=dtype,
         )
     if which_model == "SFTMD":

@@ -92,3 +92,28 @@ def test_bf16_budget_other_scales(scale, latent, budget_db):
     assert psnr >= budget_db, (
         f"x{scale}: bf16 mismatch-PSNR {psnr:.2f} dB below the "
         f"{budget_db} dB bound for this regime")
+
+
+def test_remat_blocks_is_exact():
+    """remat_blocks (large-LR training memory mode) must be bit-identical
+    to the hoisted default and keep an identical parameter tree."""
+    lr = 16
+    rng = np.random.default_rng(4)
+    lq = jnp.asarray(rng.random((1, lr, lr, 3)).astype(np.float32))
+    dep = jnp.asarray(rng.random((1, lr, lr, 1)).astype(np.float32))
+    mk = jnp.asarray((rng.random((1, lr, lr, 10)) > 0.8).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=2,
+              depth_latent_ch=16, depth_range_num=10)
+    net_a = DepthNet(remat_blocks=False, **kw)
+    net_b = DepthNet(remat_blocks=True, **kw)
+    params = net_a.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    pb = net_b.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pb))
+    oa = np.asarray(net_a.apply({"params": params}, lq, dep, mk))
+    ob = np.asarray(net_b.apply({"params": params}, lq, dep, mk))
+    np.testing.assert_array_equal(oa, ob)
+    g = jax.grad(lambda p: jnp.sum(
+        net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
