@@ -39,8 +39,15 @@ class FModelDepthCond(BaseModel):
     def __init__(self, opt, mesh=None):
         super().__init__(opt)
         self.mesh = mesh or get_mesh()
-        compute_dtype = jnp.bfloat16 if opt.get("precision") == "bf16" else jnp.float32
-        self.netG = networks.define_G(opt, dtype=compute_dtype)
+        # precision: None/fp32 (reference-faithful), "bf16" (full bf16
+        # compute, quality-certified at ×4/×8), or "mixed" (fp32 trunk +
+        # bf16 hoisted SEAN branches — the certified fast path for ×2/×3
+        # where full bf16 fails the budget; see tests/test_bf16_quality.py)
+        precision = opt.get("precision")
+        compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        mod_dtype = jnp.bfloat16 if precision == "mixed" else None
+        self.netG = networks.define_G(opt, dtype=compute_dtype,
+                                      modulation_dtype=mod_dtype)
 
         ds = (opt.get("datasets") or {}).get("train") or (opt.get("datasets") or {}).get(
             "test"

@@ -22,7 +22,7 @@ def _dataset_block(opt):
     return next(iter(ds.values())) if ds else {}
 
 
-def define_G(opt, dtype=jnp.float32):
+def define_G(opt, dtype=jnp.float32, modulation_dtype=None):
     opt_net = opt["network_G"]
     which_model = opt_net["which_model_G"]
     scale = opt.get("scale") or opt_net.get("scale") or opt_net.get("upscale", 4)
@@ -48,6 +48,7 @@ def define_G(opt, dtype=jnp.float32):
             ablate_depth_matrix=bool(opt_net.get("ablate_depth_matrix", False)),
             ablate_depth_block=bool(opt_net.get("ablate_depth_block", False)),
             remat_blocks=bool(opt_net.get("remat_blocks", False)),
+            modulation_dtype=modulation_dtype,
             dtype=dtype,
         )
     if which_model == "SFTMD":

@@ -117,3 +117,27 @@ def test_remat_blocks_is_exact():
         net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+@pytest.mark.parametrize("scale,latent", [(2, 32), (3, 64)])
+def test_mixed_precision_within_budget(scale, latent):
+    """precision: mixed (fp32 trunk + bf16 hoisted SEAN branches) must pass
+    the >=45 dB certification where full bf16 fails — this is the shipped
+    fast path for x2/x3 serving."""
+    lr = 48
+    lq = _smooth((lr, lr, 3))[None]
+    depth = _smooth((lr, lr, 1))[None]
+    masks = depth_masks_np(depth[0, ..., 0], True, 10)[None].astype(np.float32)
+
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=scale,
+              depth_latent_ch=latent, depth_range_num=10)
+    net32 = DepthNet(dtype=jnp.float32, **kw)
+    netmx = DepthNet(dtype=jnp.float32, modulation_dtype=jnp.bfloat16, **kw)
+    params = net32.init(jax.random.PRNGKey(scale), lq, depth, masks)["params"]
+
+    out32 = np.asarray(net32.apply({"params": params}, lq, depth, masks))
+    outmx = np.asarray(netmx.apply({"params": params}, lq, depth, masks))
+    mse = float(np.mean((outmx.astype(np.float64) - out32) ** 2))
+    psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+    assert psnr >= 45.0, (
+        f"x{scale} mixed: mismatch-PSNR {psnr:.2f} dB eats the budget")
