@@ -42,9 +42,12 @@ class BaseModel:
         self.schedule = None
         if self.is_train and opt.get("train"):
             self.schedule = build_schedule(opt["train"])
-        # YAML-selectable checkpoint backend (msgpack file / orbax dir)
+        # YAML-selectable checkpoint backend (msgpack file / orbax dir),
+        # held per-model — one model's YAML must not flip the backend for
+        # every other model in the process
+        self.ckpt_backend = None
         if opt.get("path"):
-            ckpt.set_backend(opt["path"].get("checkpoint_backend"))
+            self.ckpt_backend = opt["path"].get("checkpoint_backend")
 
     # ------------------------------------------------------------------
     # contract stubs
@@ -82,7 +85,8 @@ class BaseModel:
     # ------------------------------------------------------------------
     def save_network(self, params, network_label, iter_label):
         return ckpt.save_network(
-            params, self.opt["path"]["models"], network_label, iter_label
+            params, self.opt["path"]["models"], network_label, iter_label,
+            backend=self.ckpt_backend,
         )
 
     def load_network(self, load_path, params_template, strict=True, key_fn=None):
@@ -96,7 +100,8 @@ class BaseModel:
             "params": self.state.params,
         }
         return ckpt.save_training_state(
-            state, self.opt["path"]["training_state"], iter_step
+            state, self.opt["path"]["training_state"], iter_step,
+            backend=self.ckpt_backend,
         )
 
     def resume_training(self, resume_path):

@@ -110,11 +110,17 @@ class FModelDepthCond(BaseModel):
             chain = []
             if wd:
                 chain.append(optax.add_decayed_weights(wd))
-            chain.append(
-                optax.scale_by_adam(
-                    b1=float(t.get("beta1", 0.9)), b2=float(t.get("beta2", 0.999))
-                )
+            adam = optax.scale_by_adam(
+                b1=float(t.get("beta1", 0.9)), b2=float(t.get("beta2", 0.999))
             )
+            if (t.get("lr_scheme") == "MultiStepLR_Restart"
+                    and t.get("clear_state") and t.get("restarts")):
+                # reference lr_scheduler.py:22-23 — wipe Adam moments at
+                # each restart step
+                from endosr.models.lr_schedule import clear_state_at
+
+                adam = clear_state_at(t["restarts"])(adam)
+            chain.append(adam)
             chain.append(optax.scale_by_learning_rate(self.schedule))
             self.tx = optax.chain(*chain)
             opt_state = self.tx.init(params)
@@ -231,6 +237,12 @@ class FModelDepthCond(BaseModel):
         # host RNG picks the random mask bin (reference ``mask_loss.py:24``)
         batch["mask_bin"] = np.int32(self._np_rng.integers(0, self.mask_num))
         batch = shard_batch(batch, self.mesh)
+        if (self.use_depth_loss and step is not None and step % 1000 == 0):
+            # disparity-dump debug hook (``F_model_depthCond.py:202-207``):
+            # every 1000 steps save the 4-scale SR/HR disparity pyramids to
+            # ./tmp/{sr,hr}_<i>.npy. Runs outside the donated train step —
+            # one extra jitted forward+depth pass every 1000 steps.
+            self._dump_disparities(batch)
         self.state, logs = self._train_step(self.state, batch)
         logs = jax.device_get(logs)
         self.log_dict = {}
@@ -243,6 +255,28 @@ class FModelDepthCond(BaseModel):
                     self.log_dict[f"dyn_l_{i}"] = float(x)
             else:
                 self.log_dict[k] = float(v)
+
+    def _dump_disparities(self, batch):
+        import os
+
+        if getattr(self, "_disp_fn", None) is None:
+            netG = self.netG
+
+            def disp(params, lq, dep, masks, gt):
+                fake_h = netG.apply({"params": params}, lq, dep, masks)
+                return (self.depth_loss_fn.get_depth_feature(fake_h),
+                        self.depth_loss_fn.get_depth_feature(gt))
+
+            self._disp_fn = jax.jit(disp)
+        sr_disp, hr_disp = jax.device_get(self._disp_fn(
+            self.state.params["netG"], batch["LQ"], batch["Depth"],
+            batch["DepthMaskList"], batch["GT"]))
+        if self.rank == 0:
+            logger.info("Saving the depth map for SR and HR images......")
+            os.makedirs("./tmp", exist_ok=True)
+            for i in range(4):
+                np.save(f"./tmp/sr_{i}.npy", np.asarray(sr_disp[i]))
+                np.save(f"./tmp/hr_{i}.npy", np.asarray(hr_disp[i]))
 
     def test(self):
         b = self.batch

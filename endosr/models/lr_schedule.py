@@ -27,7 +27,43 @@ __all__ = [
     "multistep",
     "with_warmup",
     "build_schedule",
+    "clear_state_at",
 ]
+
+
+def clear_state_at(restarts: Sequence[int]):
+    """Optax wrapper reproducing ``MultiStepLR_Restart(clear_state=True)``
+    (reference ``lr_scheduler.py:22-23``): at each restart step the
+    optimizer state (Adam moments and bias-correction count) is cleared —
+    torch does ``optimizer.state = defaultdict(dict)`` from inside
+    ``get_lr`` before that iteration's optimizer step.
+
+    Returns ``wrap(inner)`` producing a GradientTransformation whose state
+    leaves are zeroed when its update count hits a restart step (counts
+    align with the closed-form schedules here: update n uses schedule(n),
+    and a restart at step r rewinds both lr and moments at n == r).
+    """
+    import jax
+    import optax
+
+    r = jnp.asarray(np.asarray(sorted(restarts), np.int32).reshape(-1))
+
+    def wrap(inner):
+        def init(params):
+            return (jnp.zeros([], jnp.int32), inner.init(params))
+
+        def update(updates, state, params=None):
+            count, inner_state = state
+            reset = jnp.any(count == r)
+            inner_state = jax.tree_util.tree_map(
+                lambda x: jnp.where(reset, jnp.zeros_like(x), x), inner_state
+            )
+            updates, inner_state = inner.update(updates, inner_state, params)
+            return updates, (count + 1, inner_state)
+
+        return optax.GradientTransformation(init, update)
+
+    return wrap
 
 
 def cosine_annealing_restart(base_lr: float, t_period: Sequence[int],

@@ -34,7 +34,24 @@ def _h_sharding(mesh: Mesh, axis: str) -> NamedSharding:
     return NamedSharding(mesh, P(None, axis))
 
 
-def shard_spatial(arrays, mesh: Mesh | None = None, axis: str = "data"):
+def _check_min_rows(h: int, n: int, min_rows: int = 4) -> None:
+    """Reject degenerate shards at every entry point (not just
+    spatial_forward): XLA's halo exchange reaches only nearest neighbors,
+    so a 3×3 stride-2 conv whose input shards hold a single row silently
+    corrupts (needs rows from TWO devices away — measured H=16 over 8
+    devices diverges ~9e-2 while H≥24 is exact). Shipped generators
+    downsample H by ≤4 before any strided conv, so H ≥ 4·mesh keeps every
+    such input at ≥2 rows per shard. Callers whose fn has no strided conv
+    may pass a smaller ``min_rows``."""
+    if h < min_rows * n:
+        raise ValueError(
+            f"spatial sharding needs H ≥ {min_rows}·mesh ({min_rows * n}), "
+            f"got {h} — smaller frames don't need sharding; run them on one "
+            "chip (pass min_rows to relax for stride-1-only programs)")
+
+
+def shard_spatial(arrays, mesh: Mesh | None = None, axis: str = "data",
+                  min_rows: int = 4):
     """Device-put NHWC arrays with H (axis 1) sharded over the mesh.
 
     H must divide by the mesh size — callers pad to a multiple first
@@ -46,13 +63,14 @@ def shard_spatial(arrays, mesh: Mesh | None = None, axis: str = "data"):
     def put(x):
         assert x.ndim >= 2 and x.shape[1] % mesh.devices.size == 0, (
             f"H={x.shape[1]} must divide the {mesh.devices.size}-way mesh")
+        _check_min_rows(x.shape[1], mesh.devices.size, min_rows)
         return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(put, arrays)
 
 
 def spatial_jit(fn, mesh: Mesh | None = None, axis: str = "data",
-                n_array_args: int | None = None):
+                n_array_args: int | None = None, min_rows: int = 4):
     """jit ``fn(params, *arrays)`` with every array input/output H-sharded.
 
     ``params`` (first argument) is replicated; all remaining arguments and
@@ -71,11 +89,18 @@ def spatial_jit(fn, mesh: Mesh | None = None, axis: str = "data",
 
     n = n_array_args
     if n is None:
-        # build lazily at first call so we can mirror the pytree structure
+        # build lazily at first call so we can mirror the pytree structure;
+        # keyed by the params/arrays treedefs — in_shardings bake the first
+        # call's tree structure, so a differently-structured params tree
+        # must get its own compiled entry, not a mis-sharded reuse
         _cache = {}
 
         def call(params, *arrays):
-            key = len(arrays)
+            for a in jax.tree_util.tree_leaves(arrays):
+                if hasattr(a, "ndim") and a.ndim >= 2:
+                    _check_min_rows(a.shape[1], mesh.devices.size, min_rows)
+            key = (jax.tree_util.tree_structure(params),
+                   jax.tree_util.tree_structure(arrays))
             if key not in _cache:
                 _cache[key] = jax.jit(
                     wrapped,
@@ -87,11 +112,19 @@ def spatial_jit(fn, mesh: Mesh | None = None, axis: str = "data",
 
         return call
 
-    return jax.jit(
+    jitted = jax.jit(
         wrapped,
         in_shardings=(rep,) + (s,) * n,
         out_shardings=s,
     )
+
+    def call_static(params, *arrays):
+        for a in arrays:
+            if hasattr(a, "ndim") and a.ndim >= 2:
+                _check_min_rows(a.shape[1], mesh.devices.size, min_rows)
+        return jitted(params, *arrays)
+
+    return call_static
 
 
 def spatial_forward(net, params, lq, depth_map, depth_mask,
@@ -104,16 +137,7 @@ def spatial_forward(net, params, lq, depth_map, depth_mask,
     ICI, and the SR output comes back H-sharded (device_get assembles it).
     """
     mesh = mesh or get_mesh()
-    # Degenerate shards silently corrupt strided convs: XLA's halo exchange
-    # reaches only nearest neighbors, and a 3×3 stride-2 conv whose input
-    # shards hold a single row needs rows from TWO devices away (measured:
-    # H=16 over 8 devices diverges by ~9e-2 while H≥24 is exact to 3e-8).
-    # The shipped generators downsample H by ≤4 before any strided conv's
-    # input, so H ≥ 4·mesh keeps every such input at ≥2 rows per shard.
-    n = mesh.devices.size
-    assert lq.shape[1] >= 4 * n, (
-        f"spatial sharding needs H ≥ 4·mesh ({4 * n}), got {lq.shape[1]} — "
-        "smaller frames don't need sharding; run them on one chip")
+    _check_min_rows(lq.shape[1], mesh.devices.size)
     fwd = spatial_jit(
         lambda p, a, d, m: net.apply({"params": p}, a, d, m),
         mesh=mesh, axis=axis, n_array_args=3,

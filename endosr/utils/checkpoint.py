@@ -35,7 +35,12 @@ _BACKEND = os.environ.get("ENDOSR_CKPT_BACKEND", "msgpack")
 
 
 def set_backend(name: str | None) -> None:
-    """Select the save backend: 'msgpack' (default) or 'orbax'."""
+    """Select the process-default save backend: 'msgpack' or 'orbax'.
+
+    Per-model configuration should pass ``backend=`` to the save functions
+    instead (BaseModel threads ``path: {checkpoint_backend: ...}`` through
+    that way); this global is only the fallback default.
+    """
     global _BACKEND
     if name:
         assert name in ("msgpack", "orbax"), name
@@ -46,22 +51,35 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_pytree(tree: Any, path: str) -> None:
+def save_pytree(tree: Any, path: str, backend: str | None = None) -> None:
+    backend = backend or _BACKEND
+    assert backend in ("msgpack", "orbax"), backend
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    if _BACKEND == "orbax":
+    if backend == "orbax":
+        import shutil
+
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
-        if os.path.isdir(path):  # orbax refuses to overwrite
-            import shutil
-
-            shutil.rmtree(path)
+        # write to a sibling tmp dir, swap in only once the save finalized —
+        # a crash mid-save must never lose the previous checkpoint at `path`
+        tmp = path + f".tmp.{os.getpid()}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         with ocp.PyTreeCheckpointer() as ckptr:
             # canonical flax state-dict form (pure nested containers) so the
             # restore side round-trips through from_state_dict regardless of
             # the original pytree's custom node types (TrainState, optax
             # namedtuples, …)
-            ckptr.save(path, serialization.to_state_dict(_to_host(tree)))
+            ckptr.save(tmp, serialization.to_state_dict(_to_host(tree)))
+        old = path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(path):  # orbax refuses to overwrite; swap via .old
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         return
     data = serialization.to_bytes(_to_host(tree))
     tmp = path + ".tmp"
@@ -83,11 +101,11 @@ def load_pytree(path: str, target: Any) -> Any:
 
 
 def save_network(params: Any, save_dir: str, network_label: str,
-                 iter_label) -> str:
+                 iter_label, backend: str | None = None) -> str:
     """``{iter}_{label}.ckpt`` — mirrors save_network's filename scheme."""
     path = os.path.join(save_dir, f"{iter_label}_{network_label}.ckpt")
     if jax.process_index() == 0:
-        save_pytree(params, path)
+        save_pytree(params, path, backend)
     return path
 
 
@@ -109,10 +127,11 @@ def load_network(load_path: str, params_template: Any, strict: bool = True,
     return load_pytree(load_path, params_template)
 
 
-def save_training_state(state: Any, save_dir: str, iter_label) -> str:
+def save_training_state(state: Any, save_dir: str, iter_label,
+                        backend: str | None = None) -> str:
     path = os.path.join(save_dir, f"{iter_label}.state")
     if jax.process_index() == 0:
-        save_pytree(state, path)
+        save_pytree(state, path, backend)
     return path
 
 

@@ -120,3 +120,59 @@ def test_warmup_override():
     assert float(sched(0)) == 0.0
     assert float(sched(5)) == pytest.approx(5e-4)
     assert float(sched(10)) == pytest.approx(1e-3)
+
+
+@requires_reference
+def test_clear_state_matches_reference_adam_trajectory(reference_path):
+    """MultiStepLR_Restart(clear_state=True) wipes the Adam moments at each
+    restart (ref ``lr_scheduler.py:22-23``); the optax ``clear_state_at``
+    wrapper must reproduce the full parameter trajectory, including the
+    bias-correction rewind after the wipe."""
+    import jax.numpy as jnp
+    import optax
+    from models.lr_scheduler import MultiStepLR_Restart
+
+    from endosr.models.lr_schedule import clear_state_at, multistep_restart
+
+    base_lr, milestones, restarts, weights = 1e-2, [5, 12], [8], [0.7]
+    p_t = torch.nn.Parameter(torch.ones(4))
+    optim = torch.optim.Adam([p_t], lr=base_lr, betas=(0.9, 0.99))
+    sched = MultiStepLR_Restart(optim, milestones, restarts=restarts,
+                                weights=weights, gamma=0.1, clear_state=True)
+    g = torch.linspace(0.1, 0.4, 4)
+    traj = []
+    for t in range(20):
+        optim.zero_grad()
+        # varying gradients so the moment wipe visibly changes the
+        # trajectory (constant grads make Adam's moments self-restoring)
+        p_t.grad = g * float((-1.0) ** t * 0.9 + 1.0)
+        optim.step()
+        sched.step()
+        traj.append(p_t.detach().numpy().copy())
+
+    sched_j = multistep_restart(base_lr, milestones, 0.1, restarts, weights)
+    tx = optax.chain(
+        clear_state_at(restarts)(optax.scale_by_adam(b1=0.9, b2=0.99)),
+        optax.scale_by_learning_rate(sched_j),
+    )
+    params = jnp.ones((4,))
+    state = tx.init(params)
+    gj = jnp.asarray(np.linspace(0.1, 0.4, 4), jnp.float32)
+    cleared = optax.chain(  # control: without the wrapper the wipe is absent
+        optax.scale_by_adam(b1=0.9, b2=0.99),
+        optax.scale_by_learning_rate(sched_j),
+    )
+    cstate, cparams = cleared.init(params), params
+    diverged = False
+    for t in range(20):
+        gt = gj * float((-1.0) ** t * 0.9 + 1.0)
+        upd, state = tx.update(gt, state, params)
+        params = optax.apply_updates(params, upd)
+        np.testing.assert_allclose(
+            np.asarray(params), traj[t], rtol=1e-4, atol=1e-6,
+            err_msg=f"step {t}")
+        cupd, cstate = cleared.update(gt, cstate, cparams)
+        cparams = optax.apply_updates(cparams, cupd)
+        if not np.allclose(np.asarray(cparams), traj[t], rtol=1e-4, atol=1e-6):
+            diverged = True
+    assert diverged, "control without clear_state should diverge post-restart"

@@ -52,7 +52,7 @@ def test_spatial_forward_matches_single_device(mesh):
 
 def test_shard_spatial_places_h_axis(mesh):
     lq, dep, mk = _inputs(h=16, w=8)
-    (s_lq,) = shard_spatial((lq,), mesh)
+    (s_lq,) = shard_spatial((lq,), mesh, min_rows=2)
     assert s_lq.sharding.spec == jax.sharding.PartitionSpec(None, "data")
     # 8 shards of 2 rows each
     assert len(s_lq.addressable_shards) == 8
@@ -73,8 +73,22 @@ def test_spatial_forward_rejects_degenerate_shards(mesh):
     net = DepthNet(which_resblk_depth=(0,), scale=2,
                    depth_latent_ch=32, depth_range_num=10)
     params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
-    with pytest.raises(AssertionError, match="H ≥ 4·mesh"):
+    with pytest.raises(ValueError, match="H ≥ 4·mesh"):
         spatial_forward(net, params, lq, dep, mk, mesh=mesh)
+
+
+def test_all_entry_points_reject_degenerate_shards_by_default(mesh):
+    """The guard lives in shard_spatial/spatial_jit themselves, not only in
+    spatial_forward — direct users get the same protection."""
+    lq = jnp.zeros((1, 16, 8, 3))
+    with pytest.raises(ValueError, match="H ≥ 4·mesh"):
+        shard_spatial((lq,), mesh)
+    ident = spatial_jit(lambda p, x: x, mesh=mesh, n_array_args=1)
+    with pytest.raises(ValueError, match="H ≥ 4·mesh"):
+        ident(None, lq)
+    lazy = spatial_jit(lambda p, x: x, mesh=mesh)
+    with pytest.raises(ValueError, match="H ≥ 4·mesh"):
+        lazy(None, lq)
 
 
 def test_spatial_jit_generic_fn(mesh):
@@ -92,7 +106,7 @@ def test_spatial_jit_generic_fn(mesh):
     x = jnp.asarray(np.random.default_rng(1).standard_normal(
         (2, 16, 16, 2)), jnp.float32)
     want = np.asarray(fn(w, x))
-    call = spatial_jit(fn, mesh=mesh, n_array_args=1)
-    (sx,) = shard_spatial((x,), mesh)
+    call = spatial_jit(fn, mesh=mesh, n_array_args=1, min_rows=2)
+    (sx,) = shard_spatial((x,), mesh, min_rows=2)
     got = np.asarray(jax.device_get(call(w, sx)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -137,10 +137,12 @@ def main():
     # events can't evict device events from the trace cap.
     profile_iter = int(opt_F["logger"].get("profile_iter") or 0)
     profile_dir = os.path.join(opt_F["path"]["experiments_root"], "profile")
+    trace_active = False
 
     from endosr.data import prefetch_to_device
 
-    for epoch in range(start_epoch, total_epochs + 1):
+    try:
+      for epoch in range(start_epoch, total_epochs + 1):
         train_loader.set_epoch(epoch)
         # double-buffered device placement: upcoming batches are device_put
         # with their mesh shardings while the current step runs
@@ -155,8 +157,10 @@ def main():
                     popts.python_tracer_level = 0
                     jax.profiler.start_trace(profile_dir,
                                              profiler_options=popts)
-                elif current_step == profile_iter + 3:
+                    trace_active = True
+                elif trace_active and current_step >= profile_iter + 3:
                     jax.profiler.stop_trace()
+                    trace_active = False
                     logger.info("device trace written to %s", profile_dir)
 
             model.feed_data(batch)
@@ -222,6 +226,12 @@ def main():
 
         if current_step > total_iters:
             break
+    finally:
+        # flush a still-open device trace on ANY exit (exception, break at
+        # total_iters, epoch exhaustion) so start_trace never leaks
+        if trace_active:
+            jax.profiler.stop_trace()
+            logger.info("device trace written to %s", profile_dir)
 
     if rank == 0:
         logger.info("Saving the final model.")
