@@ -279,6 +279,14 @@ class DepthNet(nn.Module):
     # Select with ``precision: mixed`` in the YAML. Applies to the hoisted
     # path only (remat_blocks computes branches per block at ``dtype``).
     modulation_dtype: Any = None
+    # Chunked hoisting: with 0 every trunk SEAN's modulation maps are
+    # computed up front — at bs≥16 the live [B,H,W,26·128] γβ maps
+    # (≥1.7 GB) defeat HBM locality and fps/chip regresses ~40%
+    # (BASELINE.md). With G>0 the trunk is hoisted in groups of G blocks:
+    # each group's maps are produced right before its blocks run (a zero-
+    # cost data dependency on the running feature pins the schedule), so
+    # only one group's maps are live at a time. Same math, same params.
+    hoist_chunk: int = 0
     # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
     # SEAN depth-map branch — the network's single largest op. Measured
     # SLOWER than XLA on v5e (15.3 ms vs 6.3 ms in isolation: XLA's grouped
@@ -357,57 +365,87 @@ class DepthNet(nn.Module):
         ob_map: dict[int, tuple] = {}
         sb_map: dict[int, tuple] = {}
         mod_map: dict[int, tuple] = {}
-        if trunk_depth and not self.ablate_depth_block and not self.remat_blocks:
+        do_hoist = bool(trunk_depth and not self.ablate_depth_block
+                        and not self.remat_blocks)
+        dmap = dmask = None
+        mod_dt = self.modulation_dtype or self.dtype
+        if do_hoist:
             size = (feat_downscaled.shape[1], feat_downscaled.shape[2])
             dmap = interpolate_nearest(depth_map, size)
             # mixed precision: branch outputs stay in mod_dt; the SEAN
             # epilogue's promotion (mod_dt + fp32 x̂) keeps the trunk fp32
-            mod_dt = self.modulation_dtype or self.dtype
             can_fuse = (self.fused_modulation and not self.ablate_depth_matrix
                         and depth_vec is not None)
+            want_style = ((self.hoist_style and not self.ablate_depth_matrix)
+                          or can_fuse)
+            if want_style:
+                dmask = interpolate_nearest(depth_mask, size)
+
+        def hoist_group(ids, tie):
+            """Compute the SEAN modulation maps for blocks ``ids``.
+
+            ``tie``: when chunked, the running trunk feature — an
+            optimization_barrier makes the group's branch inputs depend on
+            it, so XLA cannot schedule all groups' [B,H,W,G·2C] maps up
+            front (which is exactly the HBM-locality failure chunking
+            exists to avoid).
+            """
+            dmap_g, dmask_g = dmap, dmask
+            if tie is not None:
+                if dmask_g is not None:
+                    dmap_g, dmask_g, _ = jax.lax.optimization_barrier(
+                        (dmap_g, dmask_g, tie))
+                else:
+                    dmap_g, _ = jax.lax.optimization_barrier((dmap_g, tie))
             if can_fuse:
                 # one Pallas kernel: conv1+relu+conv2 (o-branch), the style
                 # matmul, biases and the α blend per VMEM tile — the blended
                 # (γ,β) is the only HBM-size intermediate
-                dmask = interpolate_nearest(depth_mask, size)
                 o_w, s_w, al = [], [], []
-                for i in trunk_depth:
+                for i in ids:
                     o_w.extend(blocks[i].depth_branch_weights())
                     s_w.extend(blocks[i].style_branch_weights())
                     al.extend(blocks[i].blend_alphas())
-                mods = hoisted_blended_mods(o_w, s_w, al, dmap, dmask,
+                mods = hoisted_blended_mods(o_w, s_w, al, dmap_g, dmask_g,
                                             depth_vec, mod_dt)
-                for idx, i in enumerate(trunk_depth):
+                for idx, i in enumerate(ids):
                     mod_map[i] = (mods[2 * idx], mods[2 * idx + 1])
-            else:
-                weights = []
-                for i in trunk_depth:
-                    weights.extend(blocks[i].depth_branch_weights())
-                from endosr.kernels.fused_obranch import (
-                    fused_o_branch_supported,
-                )
+                return
+            weights = []
+            for i in ids:
+                weights.extend(blocks[i].depth_branch_weights())
+            from endosr.kernels.fused_obranch import fused_o_branch_supported
 
-                if (self.pallas_obranch
-                        and fused_o_branch_supported(*size, mod_dt)):
-                    # fused conv1+ReLU+conv2 per VMEM tile — the N·2C-wide
-                    # intermediate activation never touches HBM (see
-                    # endosr/kernels/fused_obranch.py)
-                    obs = pallas_o_branch(weights, dmap, mod_dt)
-                else:
-                    obs = hoisted_o_branch(weights, dmap, mod_dt)
-                for idx, i in enumerate(trunk_depth):
-                    ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
-                if self.hoist_style and not self.ablate_depth_matrix:
-                    # the depth-matrix branch is equally loop-invariant: one
-                    # batched [B,HW,9K]×[B,9K,N·2C] matmul replaces N thin ones
-                    dmask = interpolate_nearest(depth_mask, size)
-                    sweights = []
-                    for i in trunk_depth:
-                        sweights.extend(blocks[i].style_branch_weights())
-                    sbs = hoisted_style_branch(sweights, dmask, depth_vec,
-                                               mod_dt)
-                    for idx, i in enumerate(trunk_depth):
-                        sb_map[i] = (sbs[2 * idx], sbs[2 * idx + 1])
+            if (self.pallas_obranch
+                    and fused_o_branch_supported(*size, mod_dt)):
+                # fused conv1+ReLU+conv2 per VMEM tile — the N·2C-wide
+                # intermediate activation never touches HBM (see
+                # endosr/kernels/fused_obranch.py)
+                obs = pallas_o_branch(weights, dmap_g, mod_dt)
+            else:
+                obs = hoisted_o_branch(weights, dmap_g, mod_dt)
+            for idx, i in enumerate(ids):
+                ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
+            if want_style:
+                # the depth-matrix branch is equally loop-invariant: one
+                # batched [B,HW,9K]×[B,9K,N·2C] matmul replaces N thin ones
+                sweights = []
+                for i in ids:
+                    sweights.extend(blocks[i].style_branch_weights())
+                sbs = hoisted_style_branch(sweights, dmask_g, depth_vec,
+                                           mod_dt)
+                for idx, i in enumerate(ids):
+                    sb_map[i] = (sbs[2 * idx], sbs[2 * idx + 1])
+
+        group_start: dict[int, list[int]] = {}
+        if do_hoist:
+            g = int(self.hoist_chunk)
+            if g > 0:
+                groups = [trunk_depth[j:j + g]
+                          for j in range(0, len(trunk_depth), g)]
+            else:
+                groups = [trunk_depth]
+            group_start = {grp[0]: grp for grp in groups}
 
         def run_block(i: int, feat):
             if i in which:
@@ -418,6 +456,12 @@ class DepthNet(nn.Module):
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)
         for i in range(nb - 3):
+            if i in group_start:
+                # tie chunked groups to the running feature; the first
+                # (or only) group has no predecessor to wait for
+                tie = fea_in if (self.hoist_chunk and i != trunk_depth[0]) \
+                    else None
+                hoist_group(group_start[i], tie)
             fea_in = run_block(i, fea_in)
 
         feat_add1 = fea_in + fea_bef  # global skip

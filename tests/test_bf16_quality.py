@@ -119,6 +119,33 @@ def test_remat_blocks_is_exact():
                for x in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.parametrize("chunk", [1, 3, 4, 13])
+def test_hoist_chunk_is_exact(chunk):
+    """Chunked hoisting (HBM-locality mode for large batch) must be
+    bit-identical to the single-shot hoist: same math, same params, the
+    groups only change XLA's schedule."""
+    lr = 16
+    rng = np.random.default_rng(7)
+    lq = jnp.asarray(rng.random((2, lr, lr, 3)).astype(np.float32))
+    dep = jnp.asarray(rng.random((2, lr, lr, 1)).astype(np.float32))
+    mk = jnp.asarray((rng.random((2, lr, lr, 10)) > 0.8).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=4,
+              depth_latent_ch=16, depth_range_num=10)
+    net_a = DepthNet(hoist_chunk=0, **kw)
+    net_b = DepthNet(hoist_chunk=chunk, **kw)
+    params = net_a.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    pb = net_b.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pb))
+    oa = np.asarray(jax.jit(net_a.apply)({"params": params}, lq, dep, mk))
+    ob = np.asarray(jax.jit(net_b.apply)({"params": params}, lq, dep, mk))
+    np.testing.assert_array_equal(oa, ob)
+    g = jax.grad(lambda p: jnp.sum(
+        net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.parametrize("scale,latent", [(2, 32), (3, 64)])
 def test_mixed_precision_within_budget(scale, latent):
     """precision: mixed (fp32 trunk + bf16 hoisted SEAN branches) must pass
