@@ -34,6 +34,7 @@ from endosr.nn.layers import (
     WNConv,
     WNConvParams,
     WNConvTranspose,
+    chained_instance_norm,
     compose_pixel_shuffle_perm,
     fold_kernel_through_pixel_shuffle,
     instance_norm,
@@ -47,7 +48,12 @@ from endosr.nn.sean import (
     hoisted_blended_mods,
     hoisted_o_branch,
     hoisted_style_branch,
+    o_branch_from_actv,
     pallas_o_branch,
+    precompute_o_actv,
+    precompute_style_v,
+    shifted_mask_stack,
+    style_from_shifted,
 )
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
@@ -150,6 +156,11 @@ class DepthResidualBlock(nn.Module):
     ablate_depth_matrix: bool = False
     ablate_depth_block: bool = False
     fused_epilogue: bool = False
+    # Fold SEAN's param-free norm into the block InstanceNorm that directly
+    # precedes it (chained_instance_norm): one statistics pass instead of
+    # two, identical math (see endosr/nn/layers.py). Saves ~3 ms/step on
+    # the flagship ×8 forward.
+    chain_in: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -188,17 +199,21 @@ class DepthResidualBlock(nn.Module):
     def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None, sb=None,
                  mod=None):
         """``ob``/``sb``/``mod``: optional per-SEAN precomputed modulation."""
-        h = instance_norm(self.conv1_0(x))
+        chain = bool(self.chain_in) and not self.fused_epilogue
+        norm = chained_instance_norm if chain else instance_norm
+        h = norm(self.conv1_0(x))
         h = self.norm1(h, depth_map, depth_mask, depth_vec,
                        ob=None if ob is None else ob[0],
                        sb=None if sb is None else sb[0],
-                       mod=None if mod is None else mod[0])
+                       mod=None if mod is None else mod[0],
+                       pre_normalized=chain)
         h = nn.relu(h)
-        h = instance_norm(self.conv2_0(h))
+        h = norm(self.conv2_0(h))
         h = self.norm2(h, depth_map, depth_mask, depth_vec,
                        ob=None if ob is None else ob[1],
                        sb=None if sb is None else sb[1],
-                       mod=None if mod is None else mod[1])
+                       mod=None if mod is None else mod[1],
+                       pre_normalized=chain)
         return nn.relu(x + h)
 
 
@@ -253,6 +268,9 @@ class DepthNet(nn.Module):
     ablate_depth_matrix: bool = False
     ablate_depth_block: bool = False
     fused_epilogue: bool = False  # Pallas IN+modulation epilogue (inference)
+    # One-pass chained InstanceNorm (block IN + SEAN param-free norm fused
+    # analytically — see layers.chained_instance_norm). Exact math.
+    chain_in: bool = True
     fold_output_conv: bool = True  # run the 9×9 head pre-PixelShuffle (exact)
     fold_tail: bool = True  # defer upscale2/3 shuffles; tail convs run folded
     hoist_style: bool = True  # batch trunk SEAN depth-matrix branches
@@ -286,7 +304,17 @@ class DepthNet(nn.Module):
     # each group's maps are produced right before its blocks run (a zero-
     # cost data dependency on the running feature pins the schedule), so
     # only one group's maps are live at a time. Same math, same params.
+    # (Only used when lazy_branches is off.)
     hoist_chunk: int = 0
+    # Lazy per-block branch evaluation: hoist only the SHARED branch
+    # prefixes — the wide 1→N·2C o-branch conv1+ReLU and the style
+    # tiny-matmul/shifted-mask stack — and run each block's second o-conv
+    # and style matmul right before the block consumes them. XLA
+    # output-fuses these into the block's modulation epilogue, so the
+    # monolithic [B,H,W,N·2C] γβ/style maps (whose grouped conv measured
+    # 7.7 ms and whose conv-layout relayout copy 2.6 ms at the flagship
+    # shape) never materialize. Bit-identical math and parameters.
+    lazy_branches: bool = True
     # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
     # SEAN depth-map branch — the network's single largest op. Measured
     # SLOWER than XLA on v5e (15.3 ms vs 6.3 ms in isolation: XLA's grouped
@@ -349,6 +377,7 @@ class DepthNet(nn.Module):
                     ablate_depth_matrix=self.ablate_depth_matrix,
                     ablate_depth_block=self.ablate_depth_block,
                     fused_epilogue=self.fused_epilogue,
+                    chain_in=self.chain_in,
                     name=f"depth_residual{i + 1}", **kw,
                 )
             else:
@@ -437,8 +466,29 @@ class DepthNet(nn.Module):
                 for idx, i in enumerate(ids):
                     sb_map[i] = (sbs[2 * idx], sbs[2 * idx + 1])
 
+        lazy = bool(do_hoist and self.lazy_branches and not can_fuse
+                    and not self.pallas_obranch) if do_hoist else False
+        lazy_o: dict[int, tuple] = {}
+        lazy_s: dict[int, tuple] = {}
+        if lazy:
+            o_weights, s_weights = [], []
+            for i in trunk_depth:
+                o_weights.extend(blocks[i].depth_branch_weights())
+                if want_style:
+                    s_weights.extend(blocks[i].style_branch_weights())
+            actv_chunks = precompute_o_actv(o_weights, dmap, mod_dt)
+            for idx, i in enumerate(trunk_depth):
+                lazy_o[i] = (actv_chunks[2 * idx], o_weights[2 * idx],
+                             actv_chunks[2 * idx + 1], o_weights[2 * idx + 1])
+            if want_style:
+                shifted = shifted_mask_stack(dmask, mod_dt)
+                v_chunks = precompute_style_v(s_weights, depth_vec, mod_dt)
+                for idx, i in enumerate(trunk_depth):
+                    lazy_s[i] = (v_chunks[2 * idx], s_weights[2 * idx],
+                                 v_chunks[2 * idx + 1], s_weights[2 * idx + 1])
+
         group_start: dict[int, list[int]] = {}
-        if do_hoist:
+        if do_hoist and not lazy:
             g = int(self.hoist_chunk)
             if g > 0:
                 groups = [trunk_depth[j:j + g]
@@ -449,9 +499,17 @@ class DepthNet(nn.Module):
 
         def run_block(i: int, feat):
             if i in which:
+                ob, sb = ob_map.get(i), sb_map.get(i)
+                if i in lazy_o:
+                    a1, w1, a2, w2 = lazy_o[i]
+                    ob = (o_branch_from_actv(a1, w1, mod_dt),
+                          o_branch_from_actv(a2, w2, mod_dt))
+                if i in lazy_s:
+                    v1, w1, v2, w2 = lazy_s[i]
+                    sb = (style_from_shifted(shifted, v1, w1, mod_dt),
+                          style_from_shifted(shifted, v2, w2, mod_dt))
                 return blocks[i](feat, depth_map, depth_mask, depth_vec,
-                                 ob=ob_map.get(i), sb=sb_map.get(i),
-                                 mod=mod_map.get(i))
+                                 ob=ob, sb=sb, mod=mod_map.get(i))
             return blocks[i](feat)
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)

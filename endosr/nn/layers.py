@@ -29,6 +29,7 @@ __all__ = [
     "wn_effective_kernel",
     "Dense",
     "instance_norm",
+    "chained_instance_norm",
     "pixel_shuffle",
     "leaky_relu",
     "fold_kernel_through_pixel_shuffle",
@@ -262,14 +263,53 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     flagship ×8 bf16 forward. fp32 accumulation keeps the cancellation error
     ≪ the 0.05 dB parity budget for activation-scale inputs.
     """
+    import os as _os
+    mode = _os.environ.get("ENDOSR_IN_STATS", "default")
+    x32 = x.astype(jnp.float32)
+    n = x.shape[1] * x.shape[2]
+    if mode == "variadic":
+        zero = jnp.float32(0.0)
+        s, sq = jax.lax.reduce(
+            (x32, x32 * x32), (zero, zero),
+            lambda a, b: (a[0] + b[0], a[1] + b[1]), (1, 2))
+        s = s[:, None, None, :]
+        sq = sq[:, None, None, :]
+    elif mode == "pallas":
+        from endosr.kernels.in_stats import in_stats_pallas
+        s, sq = in_stats_pallas(x)
+        s = s[:, None, None, :]
+        sq = sq[:, None, None, :]
+    else:
+        s = jnp.sum(x32, axis=(1, 2), keepdims=True)
+        sq = jnp.sum(x32 * x32, axis=(1, 2), keepdims=True)
+    mean = s / n
+    # clamp: cancellation can push a near-zero variance slightly negative
+    var = jnp.maximum(sq / n - mean * mean, 0.0)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def chained_instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """``instance_norm(instance_norm(x))`` with ONE statistics pass.
+
+    The reference DGB normalizes twice back-to-back: the block applies
+    ``InstanceNorm2d`` to the conv output and SEAN's param-free norm then
+    re-normalizes that result (``sftmd_arch.py:808-834`` feeding the SEAN
+    ``param_free_norm``). The second norm's statistics are analytic in the
+    first's: mean₂ = 0 and var₂ = var/(var+eps), so
+
+        out = (x − μ) · rsqrt(var+eps) · rsqrt(var/(var+eps) + eps)
+
+    — identical math (fp32 agreement ~1e-6) at half the reduction traffic.
+    The flagship trunk's 26 second-stats passes measured ~3 ms/step.
+    """
     x32 = x.astype(jnp.float32)
     n = x.shape[1] * x.shape[2]
     s = jnp.sum(x32, axis=(1, 2), keepdims=True)
     sq = jnp.sum(x32 * x32, axis=(1, 2), keepdims=True)
     mean = s / n
-    # clamp: cancellation can push a near-zero variance slightly negative
     var = jnp.maximum(sq / n - mean * mean, 0.0)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    scale = jax.lax.rsqrt(var + eps) * jax.lax.rsqrt(var / (var + eps) + eps)
+    return ((x32 - mean) * scale).astype(x.dtype)
 
 
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:

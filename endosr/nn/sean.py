@@ -37,7 +37,8 @@ from endosr.nn.layers import Conv, ConvTranspose, instance_norm, torch_conv_init
 from endosr.ops.resize import interpolate_nearest
 
 __all__ = ["SEAN", "hoisted_o_branch", "hoisted_style_branch",
-           "pallas_o_branch", "shifted_mask_stack"]
+           "pallas_o_branch", "shifted_mask_stack", "precompute_o_actv",
+           "o_branch_from_actv", "precompute_style_v", "style_from_shifted"]
 
 
 class _ConvParams:
@@ -123,6 +124,92 @@ def hoisted_o_branch(weights, depth_map, dtype):
     c = c2 // 2
     chunks = _split_channels(ob, 2 * n, c)
     return [(chunks[2 * i], chunks[2 * i + 1]) for i in range(n)]
+
+
+def precompute_o_actv(weights, depth_map, dtype):
+    """Shared first stage of the lazy o-branch: one wide 1→N·2C conv + ReLU.
+
+    The [B,h,w,N·2C] activation is instance-major (instance i owns channels
+    [i·2C, (i+1)·2C)). Returned split into per-instance chunks (via the
+    concat-adjoint :func:`_split_channels`) so each block's second conv can
+    run adjacent to its consumer — XLA output-fuses the per-instance conv
+    into the block's modulation epilogue, instead of materializing one
+    [B,h,w,N·2C] γβ map for the whole trunk (measured 7.7 ms as a single
+    ``feature_group_count=N`` conv vs ~4.7 ms as N separate convs at the
+    flagship shape; see tools/sweep_hoist.py round-2 notes).
+    """
+    n = len(weights)
+    if n == 0:
+        return ()
+    c2 = weights[0][1].shape[-1]
+    d = depth_map.astype(dtype)
+    w_mask = jnp.concatenate([w["kernel"].astype(dtype) for (w, _, _) in weights],
+                             axis=-1)
+    b_mask = jnp.concatenate([w["bias"].astype(dtype) for (w, _, _) in weights])
+    actv = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            d, w_mask, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b_mask
+    )
+    return _split_channels(actv, n, c2)
+
+
+def o_branch_from_actv(actv_i, weight, dtype):
+    """Per-instance second o-branch conv: [B,h,w,2C] → (γ_o, β_o).
+
+    ``weight``: the ``(w_mask, w_ob, b_ob)`` triple of ONE SEAN instance.
+    Identical math to that instance's slice of :func:`hoisted_o_branch`.
+    """
+    _, w_ob, b_ob = weight
+    c = w_ob.shape[-1] // 2
+    ob = jax.lax.conv_general_dilated(
+        actv_i, w_ob.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b_ob.astype(dtype)
+    return ob[..., :c], ob[..., c:]
+
+
+def precompute_style_v(weights, st, dtype):
+    """Shared first stage of the lazy style branch.
+
+    Contracts every instance's (A_i_j, γ/β conv) weights with the style
+    matrix into per-instance per-tap per-bin kernels — the tiny-matmul half
+    of the factored style modulation (see ``SEAN._style_modulation``).
+    Returns per-instance [B, 9K, 2C] chunks (concat-adjoint split).
+    """
+    n = len(weights)
+    if n == 0:
+        return ()
+    b, k, l = st.shape
+    c = weights[0][2]["kernel"].shape[-1]
+    st = st.astype(dtype)
+    a_w = jnp.stack([w[0][0, 0].astype(dtype) for w in weights])    # [N,K,K]
+    a_b = jnp.stack([w[1].astype(dtype) for w in weights])          # [N,K]
+    st_mixed = (
+        jnp.einsum("njk,bjl->nbkl", a_w, st) + a_b[:, None, :, None]
+    )  # [N,B,K,L]
+    w_cat = jnp.stack([
+        jnp.concatenate([w[2]["kernel"].astype(dtype),
+                         w[3]["kernel"].astype(dtype)], axis=-1)
+        for w in weights
+    ])  # [N,3,3,L,2C]
+    v = jnp.einsum("nbkl,nxylc->bxyknc", st_mixed, w_cat)
+    v = v.reshape(b, 9 * k, n * 2 * c)
+    return _split_channels(v, n, 2 * c)
+
+
+def style_from_shifted(shifted, v_i, weight, dtype):
+    """Per-instance style matmul: [B,H,W,9K] × [B,9K,2C] → (γ_s, β_s).
+
+    One small batched dot per block, scheduled (and output-fused) next to
+    its consumer — avoids the monolithic [B,H,W,N·2C] style map whose
+    conv-layout relayout alone measured 2.6 ms at the flagship shape.
+    """
+    c = weight[2]["kernel"].shape[-1]
+    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v_i)
+    return (y[..., :c] + weight[2]["bias"].astype(dtype),
+            y[..., c:] + weight[3]["bias"].astype(dtype))
 
 
 def pallas_o_branch(weights, depth_map, dtype):
@@ -367,18 +454,23 @@ class SEAN(nn.Module):
                 jnp.asarray([self.norm_beta], self.param_dtype))
 
     def __call__(self, x, depth_map, depth_mask, st, ob=None, sb=None,
-                 mod=None):
+                 mod=None, pre_normalized=False):
         """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L].
 
         ``ob``/``sb``: optional precomputed (γ_o, β_o) / (γ_s, β_s) at x's
         resolution — the hoisted depth-map / depth-matrix branches (see
         module docstring). ``mod``: fully blended (γ, β) from the fused
         kernel — short-circuits both branches and the α blend.
+        ``pre_normalized``: the caller already folded this SEAN's param-free
+        norm into its own preceding InstanceNorm (chained_instance_norm) —
+        skip the internal normalization and modulate x directly.
         """
         c = self.norm_nc
         size = (x.shape[1], x.shape[2])
 
         def epilogue(gamma, beta):
+            if pre_normalized:
+                return x * (1 + gamma) + beta
             if self.fused_epilogue:
                 from endosr.kernels.fused_in_mod import (
                     fused_instance_norm_modulate,

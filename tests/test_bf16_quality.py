@@ -119,6 +119,57 @@ def test_remat_blocks_is_exact():
                for x in jax.tree_util.tree_leaves(g))
 
 
+def test_chain_in_is_exact():
+    """chained_instance_norm (one-pass double-IN) must match the sequential
+    IN∘IN composition to fp32 rounding and keep an identical param tree."""
+    lr = 16
+    rng = np.random.default_rng(5)
+    lq = jnp.asarray(rng.random((2, lr, lr, 3)).astype(np.float32))
+    dep = jnp.asarray(rng.random((2, lr, lr, 1)).astype(np.float32))
+    mk = jnp.asarray((rng.random((2, lr, lr, 10)) > 0.8).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=4,
+              depth_latent_ch=16, depth_range_num=10)
+    net_a = DepthNet(chain_in=False, **kw)
+    net_b = DepthNet(chain_in=True, **kw)
+    params = net_a.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    pb = net_b.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pb))
+    oa = np.asarray(jax.jit(net_a.apply)({"params": params}, lq, dep, mk))
+    ob = np.asarray(jax.jit(net_b.apply)({"params": params}, lq, dep, mk))
+    np.testing.assert_allclose(oa, ob, atol=5e-5, rtol=0)
+    g = jax.grad(lambda p: jnp.sum(
+        net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_lazy_branches_is_exact():
+    """Lazy per-block branch evaluation (shared-prefix hoist + per-block
+    second conv / style matmul) must match the monolithic hoist bit-for-bit
+    and keep an identical parameter tree."""
+    lr = 16
+    rng = np.random.default_rng(11)
+    lq = jnp.asarray(rng.random((2, lr, lr, 3)).astype(np.float32))
+    dep = jnp.asarray(rng.random((2, lr, lr, 1)).astype(np.float32))
+    mk = jnp.asarray((rng.random((2, lr, lr, 10)) > 0.8).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=4,
+              depth_latent_ch=16, depth_range_num=10)
+    net_a = DepthNet(lazy_branches=False, **kw)
+    net_b = DepthNet(lazy_branches=True, **kw)
+    params = net_a.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    pb = net_b.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pb))
+    oa = np.asarray(jax.jit(net_a.apply)({"params": params}, lq, dep, mk))
+    ob = np.asarray(jax.jit(net_b.apply)({"params": params}, lq, dep, mk))
+    np.testing.assert_allclose(oa, ob, atol=2e-6, rtol=0)
+    g = jax.grad(lambda p: jnp.sum(
+        net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.parametrize("chunk", [1, 3, 4, 13])
 def test_hoist_chunk_is_exact(chunk):
     """Chunked hoisting (HBM-locality mode for large batch) must be
