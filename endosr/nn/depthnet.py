@@ -53,7 +53,7 @@ from endosr.nn.sean import (
     precompute_o_actv,
     precompute_style_v,
     shifted_mask_stack,
-    style_from_shifted,
+    style_chunk_dot,
 )
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
@@ -315,6 +315,12 @@ class DepthNet(nn.Module):
     # 7.7 ms and whose conv-layout relayout copy 2.6 ms at the flagship
     # shape) never materialize. Bit-identical math and parameters.
     lazy_branches: bool = True
+    # Blocks per style-matmul group in lazy mode: each group's SEAN style
+    # modulations are one batched [B,HW,9K]×[B,9K,G·4C] dot (scheduled at
+    # the group's first block via an optimization_barrier tie), so the
+    # ~24 MB ``shifted`` mask stack is read once per group instead of once
+    # per SEAN instance. 1 = per-block dots.
+    style_chunk: int = 4
     # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
     # SEAN depth-map branch — the network's single largest op. Measured
     # SLOWER than XLA on v5e (15.3 ms vs 6.3 ms in isolation: XLA's grouped
@@ -470,6 +476,7 @@ class DepthNet(nn.Module):
                     and not self.pallas_obranch) if do_hoist else False
         lazy_o: dict[int, tuple] = {}
         lazy_s: dict[int, tuple] = {}
+        style_groups: dict[int, list[int]] = {}
         if lazy:
             o_weights, s_weights = [], []
             for i in trunk_depth:
@@ -486,6 +493,29 @@ class DepthNet(nn.Module):
                 for idx, i in enumerate(trunk_depth):
                     lazy_s[i] = (v_chunks[2 * idx], s_weights[2 * idx],
                                  v_chunks[2 * idx + 1], s_weights[2 * idx + 1])
+                g = max(1, int(self.style_chunk))
+                style_groups = {grp[0]: grp for grp in (
+                    trunk_depth[j:j + g]
+                    for j in range(0, len(trunk_depth), g))}
+
+        def style_group_dots(ids, tie):
+            """Evaluate the style matmuls for blocks ``ids`` in one dot.
+
+            ``tie``: running trunk feature — an optimization_barrier pins
+            the group's dot next to its consumers so only one group's
+            [B,H,W,G·2C] style maps are live at a time.
+            """
+            sh = shifted
+            if tie is not None:
+                sh, _ = jax.lax.optimization_barrier((sh, tie))
+            v_list, w_list = [], []
+            for i in ids:
+                v1, w1, v2, w2 = lazy_s[i]
+                v_list += [v1, v2]
+                w_list += [w1, w2]
+            outs = style_chunk_dot(sh, v_list, w_list, mod_dt)
+            for idx, i in enumerate(ids):
+                sb_map[i] = (outs[2 * idx], outs[2 * idx + 1])
 
         group_start: dict[int, list[int]] = {}
         if do_hoist and not lazy:
@@ -504,10 +534,6 @@ class DepthNet(nn.Module):
                     a1, w1, a2, w2 = lazy_o[i]
                     ob = (o_branch_from_actv(a1, w1, mod_dt),
                           o_branch_from_actv(a2, w2, mod_dt))
-                if i in lazy_s:
-                    v1, w1, v2, w2 = lazy_s[i]
-                    sb = (style_from_shifted(shifted, v1, w1, mod_dt),
-                          style_from_shifted(shifted, v2, w2, mod_dt))
                 return blocks[i](feat, depth_map, depth_mask, depth_vec,
                                  ob=ob, sb=sb, mod=mod_map.get(i))
             return blocks[i](feat)
@@ -520,6 +546,9 @@ class DepthNet(nn.Module):
                 tie = fea_in if (self.hoist_chunk and i != trunk_depth[0]) \
                     else None
                 hoist_group(group_start[i], tie)
+            if i in style_groups:
+                style_group_dots(style_groups[i],
+                                 fea_in if i != trunk_depth[0] else None)
             fea_in = run_block(i, fea_in)
 
         feat_add1 = fea_in + fea_bef  # global skip

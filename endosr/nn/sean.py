@@ -38,7 +38,8 @@ from endosr.ops.resize import interpolate_nearest
 
 __all__ = ["SEAN", "hoisted_o_branch", "hoisted_style_branch",
            "pallas_o_branch", "shifted_mask_stack", "precompute_o_actv",
-           "o_branch_from_actv", "precompute_style_v", "style_from_shifted"]
+           "o_branch_from_actv", "precompute_style_v", "style_from_shifted",
+           "style_chunk_dot"]
 
 
 class _ConvParams:
@@ -210,6 +211,28 @@ def style_from_shifted(shifted, v_i, weight, dtype):
     y = jnp.einsum("bhwj,bjm->bhwm", shifted, v_i)
     return (y[..., :c] + weight[2]["bias"].astype(dtype),
             y[..., c:] + weight[3]["bias"].astype(dtype))
+
+
+def style_chunk_dot(shifted, v_list, weights, dtype):
+    """One batched style matmul for a GROUP of SEAN instances.
+
+    ``v_list``: per-instance [B,9K,2C] kernels (from
+    :func:`precompute_style_v`); ``weights``: the matching style weight
+    tuples. Same math per instance as :func:`style_from_shifted`, but one
+    [B,HW,9K]×[B,9K,G·2C] dot reads ``shifted`` (≈24 MB at the flagship
+    shape) once per group instead of once per instance — per-instance dots
+    measured 2.18 ms/step for 52 reads; grouping by 4 blocks cuts that to
+    7 reads. Returns [(γ_i, β_i), ...] in instance order.
+    """
+    c = weights[0][2]["kernel"].shape[-1]
+    v = jnp.concatenate(v_list, axis=-1)  # [B, 9K, G·2C]
+    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
+    halves = _split_channels(y, 2 * len(weights), c)
+    return [
+        (halves[2 * i] + w[2]["bias"].astype(dtype),
+         halves[2 * i + 1] + w[3]["bias"].astype(dtype))
+        for i, w in enumerate(weights)
+    ]
 
 
 def pallas_o_branch(weights, depth_map, dtype):

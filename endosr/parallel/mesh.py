@@ -27,10 +27,32 @@ __all__ = ["maybe_init_distributed", "make_mesh", "get_mesh", "shard_batch",
 
 
 def maybe_init_distributed() -> None:
-    """Multi-host init when launched under a JAX cluster env; no-op otherwise."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    """Multi-host init when launched under a JAX cluster env; no-op otherwise.
+
+    Two contracts (replacing the reference's ``init_dist()`` NCCL process
+    group, ``train.py:19-27``):
+
+    * auto-detected cluster envs (SLURM/GKE/...): set
+      ``JAX_COORDINATOR_ADDRESS`` alone and ``jax.distributed.initialize()``
+      resolves the rest;
+    * explicit manual launch: set ``JAX_COORDINATOR_ADDRESS``,
+      ``JAX_NUM_PROCESSES`` and ``JAX_PROCESS_ID`` per process (what
+      ``tests/test_multiprocess.py`` exercises on two local CPU workers).
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
+    )
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
         jax.distributed.initialize()
 
 

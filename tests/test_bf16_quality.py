@@ -18,6 +18,8 @@ import numpy as np
 from endosr.nn.depthnet import DepthNet
 from endosr.ops.masks import depth_masks_np
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 RNG = np.random.default_rng(9)
 
 

@@ -6,6 +6,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 
 def _make_opts(tmp_path, h=32, w=32):
     from endosr.depth.options import MonodepthOptions

@@ -14,9 +14,11 @@ import torch
 
 from endosr.nn.depthnet import DepthNet
 from endosr.ops.masks import depth_masks_np
-from endosr.utils.port_torch import port_state_dict
+from endosr.utils.port_torch import flatten_params, port_state_dict
 
 from tests.conftest import requires_reference
+
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
 
 RNG = np.random.default_rng(42)
 
@@ -123,6 +125,121 @@ def test_depthnet_baseline_and_trainable_off(reference_path):
             torch.from_numpy(masks).permute(0, 3, 1, 2),
         ).permute(0, 2, 3, 1).numpy()
     assert np.max(np.abs(got - want)) < 2e-4
+
+
+@requires_reference
+def test_depthnet_gradient_parity(reference_path):
+    """Training-math parity: one backward in both frameworks, every
+    parameter gradient compared.
+
+    Loss = MSE(out, target) + the reference's dynamic-weight mask loss
+    (``mask_loss.py:44-90``), so the compared gradients cover the full
+    flagship objective path incl. the trainable softmax bin weights. MSE
+    (not L1) keeps the loss smooth — sign(x) at the ≤2e-4 forward-parity
+    scale would flake. Gradients are compared after porting the torch
+    grads through the same pure-transpose map as the weights.
+
+    The torch oracle runs in float64 so the reference side carries no
+    rounding noise of its own; the JAX fp32 grads then match it to ~1e-6
+    at gradient scale ~1 (measured; asserted at 1e-4 with 70x margin).
+
+    Inputs come from a test-local RNG (not the module-shared one) so the
+    comparison is hermetic under any pytest selection order. This matters
+    because the deviation floor is conditioning-limited, not constant:
+    trunk InstanceNorm channels whose variance lands near the norm eps
+    (1e-5) amplify fp32 rounding by ~1/sqrt(var+eps); across input draws
+    the JAX-fp32-vs-torch-fp64 gradient deviation ranges ~1e-6..1e-3.
+    On this fixed draw it measures 1.4e-6 at gradient scale ~1 (70x
+    margin below the 1e-4 assertion).
+
+    The ``.contiguous()`` calls on the torch inputs are LOAD-BEARING:
+    torch 2.13 CPU silently computes WRONG ``F.instance_norm`` input
+    gradients when batch==1 and the tensors are channels-last (a bare
+    ``.permute(0,3,1,2)`` view). Verified against float64 central
+    differences: the JAX backward matches the true derivative while
+    torch's native kernel is off by ~4x on upstream parameters. With
+    batch>=2 or contiguous NCHW tensors torch agrees with the manual
+    formula to 1e-15. Minimal repro:
+
+        x = torch.randn(1, 8, 16, 16).contiguous(memory_format=torch.channels_last)
+        R = torch.randn_like(x)  # randn_like inherits channels_last!
+        # autograd.grad((F.instance_norm(x) * R).sum(), x) != true derivative
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from models.modules.mask_loss import dynamic_weight_mask_loss as RefDyn
+
+    from endosr.losses.mask import dynamic_weight_mask_loss
+
+    which = list(range(14))
+    torch.manual_seed(11)
+    tnet = TorchDepthNetFactory()(
+        which_ResBlk_depth=which, in_nc=3, out_nc=3, nf=64, nb=16, scale=4,
+        depth_latent_ch=32, depthRangeNum=10, norm_type="weight_norm",
+        use_trainable_params=True,
+    ).train().double()
+    rng = np.random.default_rng(42)  # test-local: hermetic under any order
+    lq = rng.random((1, 16, 16, 3), dtype=np.float32)
+    d2 = rng.random((1, 16, 16), dtype=np.float32)
+    masks = np.stack([depth_masks_np(d2[0], True, 10)]).astype(np.float32)
+    depth = d2[..., None].astype(np.float32)
+    target = rng.random((1, 64, 64, 3), dtype=np.float32)
+
+    ref_dyn = RefDyn({"dynamic_criterion": "smoothl1", "dynamic_weight": 10.0})
+    ref_dyn.trainable_weight.data = ref_dyn.trainable_weight.data.double()
+    dt = torch.float64
+    tl = torch.from_numpy(lq).permute(0, 3, 1, 2).contiguous().to(dt)
+    td = torch.from_numpy(depth).permute(0, 3, 1, 2).contiguous().to(dt)
+    tm = torch.from_numpy(masks).permute(0, 3, 1, 2).contiguous().to(dt)
+    tt = torch.from_numpy(target).permute(0, 3, 1, 2).contiguous().to(dt)
+    out = tnet(tl, td, tm)
+    _, _, l_mask, _ = ref_dyn(out, tt, tm)
+    loss_t = torch.nn.functional.mse_loss(out, tt) + l_mask
+    loss_t.backward()
+    # The reference constructs dead modules (e.g. `depth-residual14`,
+    # `upscale1` at scale=4) that never run, so their torch grads are
+    # None; the JAX grads there must be exact zeros, which zeros-filling
+    # makes the comparison below enforce.
+    grad_sd = {k: (np.zeros(p.shape, np.float32) if p.grad is None
+                   else p.grad.detach().float().numpy())
+               for k, p in tnet.named_parameters()}
+    w_grad_ref = ref_dyn.trainable_weight.grad.detach().float().numpy()
+
+    sd = {k: v.detach().float().numpy() for k, v in tnet.state_dict().items()}
+    jnet = DepthNet(which_resblk_depth=tuple(which), scale=4,
+                    depth_latent_ch=32, depth_range_num=10)
+    params = jnet.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
+    params = port_state_dict(sd, params)
+
+    def loss_fn(p, tw):
+        o = jnet.apply({"params": p}, lq, depth, masks)
+        _, _, l_mask, _ = dynamic_weight_mask_loss(
+            o, jnp.asarray(target), jnp.asarray(masks), tw,
+            criterion="smoothl1", weight=10.0)
+        return jnp.mean((o - target) ** 2) + l_mask
+
+    tw0 = jnp.ones((10,), jnp.float32)
+    g, g_tw = jax.grad(loss_fn, argnums=(0, 1))(params, tw0)
+
+    gref = port_state_dict(grad_sd, jax.tree_util.tree_map(np.asarray, g))
+    flat_g = dict(flatten_params(g))
+    flat_ref = dict(flatten_params(gref))
+    assert set(flat_g) == set(flat_ref)
+    gscale = max(float(np.max(np.abs(np.asarray(v)))) for v in flat_g.values())
+    bad = []
+    for k in flat_g:
+        d = float(np.max(np.abs(np.asarray(flat_g[k]) - flat_ref[k])))
+        if d > 1e-4 * max(gscale, 1.0):
+            bad.append((k, d))
+    assert not bad, f"grad mismatches: {bad[:5]} (scale {gscale:.3g})"
+    np.testing.assert_allclose(np.asarray(g_tw), w_grad_ref, atol=1e-5)
+
+
+def TorchDepthNetFactory():
+    from models.modules.sftmd_arch import DepthNet as TorchDepthNet
+
+    return TorchDepthNet
 
 
 @pytest.mark.parametrize("scale,expect", [(2, 32), (3, 48), (4, 64), (8, 128)])

@@ -7,9 +7,12 @@ jitted forward compiles once per bucket instead of once per image.
 """
 
 import numpy as np
+import pytest
 
 from endosr.config.options import dict_to_nonedict
 from endosr.models.f_depthcond import FModelDepthCond
+
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
 
 RNG = np.random.default_rng(5)
 

@@ -13,6 +13,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 
 @pytest.fixture
 def endoscene_dirs(tmp_path):

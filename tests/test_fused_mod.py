@@ -45,6 +45,7 @@ def test_supported_gate():
     assert not fused_modulation_supported(8, 128)    # too short for halo
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_custom_vjp():
     args = _operands(b=1, h=16, w=16, n=2, c2=16, k=4)
 

@@ -5,6 +5,8 @@ import pytest
 
 from endosr.config.options import dict_to_nonedict
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 RNG = np.random.default_rng(5)
 
 

@@ -7,6 +7,8 @@ import torch.nn.functional as F
 
 from tests.conftest import requires_reference
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 RNG = np.random.default_rng(7)
 
 

@@ -24,6 +24,7 @@ def test_shard_batch_partitions_leading_axis():
     assert small["x"].addressable_shards[0].data.shape == (3, 4)
 
 
+@pytest.mark.slow
 def test_flagship_train_step_shards_over_mesh():
     from endosr.config.options import dict_to_nonedict
     from endosr.models.f_depthcond import FModelDepthCond

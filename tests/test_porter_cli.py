@@ -10,6 +10,8 @@ import yaml
 
 from tests.conftest import REPO_ROOT, requires_reference
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 
 @requires_reference
 def test_port_torch_checkpoint_cli(reference_path, tmp_path):

@@ -33,6 +33,7 @@ def _inputs(b=1, h=32, w=32, k=10):
     return lq, dep, mk
 
 
+@pytest.mark.slow
 def test_spatial_forward_matches_single_device(mesh):
     lq, dep, mk = _inputs()
     net = DepthNet(which_resblk_depth=(0, 1, 14, 15), scale=2,

@@ -14,6 +14,8 @@ import yaml
 
 from endosr.config import options as option
 
+pytestmark = pytest.mark.slow  # torch oracles / e2e / full-net compiles
+
 
 @pytest.fixture(scope="module")
 def synth_dataset(tmp_path_factory):
