@@ -28,6 +28,7 @@ from endosr.losses.mask import dynamic_weight_mask_loss, mask_loss
 from endosr.losses.ssim import ssim_value
 from endosr.models.base import BaseModel, TrainState
 from endosr.nn import networks
+from endosr.ops.masks import pool_mask_np
 from endosr.parallel.mesh import get_mesh, replicate, shard_batch
 
 logger = logging.getLogger("base")
@@ -35,19 +36,43 @@ logger = logging.getLogger("base")
 __all__ = ["FModelDepthCond"]
 
 
+# all 256 correctly-rounded u8/255 values, divided on the HOST — XLA lowers
+# an in-graph /255 to multiply-by-reciprocal, which is 1 ulp off for some
+# codes; the table gather keeps the u8 pipeline bit-identical to read_img
+_U8_TABLE = np.arange(256, dtype=np.float32) / 255.0
+
+
+def _u8_image_norm(x):
+    """Device twin of the host decode normalization (``util.read_img``):
+    uint8 → fp32 [0,1], bit-exact via a 256-entry constant table."""
+    if x.dtype == jnp.uint8:
+        return jnp.asarray(_U8_TABLE)[x.astype(jnp.int32)]
+    return x
+
+
+def _u8_cast(x):
+    """0/1-valued uint8 masks → fp32 (no scaling)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32)
+    return x
+
+
 class FModelDepthCond(BaseModel):
     def __init__(self, opt, mesh=None):
         super().__init__(opt)
         self.mesh = mesh or get_mesh()
         # precision: None/fp32 (reference-faithful), "bf16" (full bf16
-        # compute, quality-certified at ×4/×8), or "mixed" (fp32 trunk +
-        # bf16 hoisted SEAN branches — the certified fast path for ×2/×3
-        # where full bf16 fails the budget; see tests/test_bf16_quality.py)
+        # compute, quality-certified at ×4/×8), "mixed" (fp32 trunk + bf16
+        # hoisted SEAN branches), or "bf16c" (mean-compensated bf16 stream
+        # convs + bf16 branches + fp32 residual stream — the fast certified
+        # path for ×2/×3 where full bf16 fails the quality budget; see
+        # tests/test_bf16_quality.py and layers.centered_conv)
         precision = opt.get("precision")
         compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-        mod_dtype = jnp.bfloat16 if precision == "mixed" else None
+        mod_dtype = jnp.bfloat16 if precision in ("mixed", "bf16c") else None
         self.netG = networks.define_G(opt, dtype=compute_dtype,
-                                      modulation_dtype=mod_dtype)
+                                      modulation_dtype=mod_dtype,
+                                      centered_convs=precision == "bf16c")
 
         ds = (opt.get("datasets") or {}).get("train") or (opt.get("datasets") or {}).get(
             "test"
@@ -157,11 +182,15 @@ class FModelDepthCond(BaseModel):
             netG = netG.clone(pallas_output=True)
 
         def loss_fn(params, batch):
+            # u8_pipeline: images ship as uint8 (4x less host/H2D traffic)
+            # and are normalized here with the identical astype(f32)/255 the
+            # host decode uses; masks are 0/1-valued so they only cast.
+            lq = _u8_image_norm(batch["LQ"])
+            masks = _u8_cast(batch["DepthMaskList"])
             fake_h = netG.apply(
-                {"params": params["netG"]},
-                batch["LQ"], batch["Depth"], batch["DepthMaskList"],
+                {"params": params["netG"]}, lq, batch["Depth"], masks,
             )
-            gt = batch["GT"]
+            gt = _u8_image_norm(batch["GT"])
             logs = {}
             l_pix = self.l_pix_w * self.cri_pix(fake_h, gt)
             total = l_pix
@@ -186,14 +215,14 @@ class FModelDepthCond(BaseModel):
                 logs["l_ssim"] = l_ssim
             if self.use_mask_loss:
                 l_mask = mask_loss(
-                    fake_h, gt, batch["DepthMaskList"], batch["mask_bin"],
+                    fake_h, gt, masks, batch["mask_bin"],
                     self.mask_criterion, self.l_mask_w,
                 )
                 total = total + l_mask
                 logs["l_mask"] = l_mask
             if self.use_dynamic_loss:
                 raw, _, l_dyn, w = dynamic_weight_mask_loss(
-                    fake_h, gt, batch["DepthMaskList"],
+                    fake_h, gt, masks,
                     params["dyn"]["trainable_weight"],
                     self.dyn_criterion, self.l_dyn_w,
                 )
@@ -223,10 +252,12 @@ class FModelDepthCond(BaseModel):
         import jax as _jax
 
         def cvt(x):
-            # keep device arrays (e.g. from prefetch_to_device) on device
+            # keep device arrays (e.g. from prefetch_to_device) on device;
+            # keep uint8 (u8_pipeline) for the in-step device normalization
             if isinstance(x, _jax.Array):
                 return x
-            return np.asarray(x, np.float32)
+            x = np.asarray(x)
+            return x if x.dtype == np.uint8 else np.asarray(x, np.float32)
 
         self.batch = {k: cvt(data[k])
                       for k in ("LQ", "GT", "Depth", "DepthMaskList")
@@ -263,7 +294,8 @@ class FModelDepthCond(BaseModel):
             netG = self.netG
 
             def disp(params, lq, dep, masks, gt):
-                fake_h = netG.apply({"params": params}, lq, dep, masks)
+                fake_h = netG.apply({"params": params}, _u8_image_norm(lq),
+                                    dep, _u8_cast(masks))
                 return (self.depth_loss_fn.get_depth_feature(fake_h),
                         self.depth_loss_fn.get_depth_feature(gt))
 
@@ -284,21 +316,42 @@ class FModelDepthCond(BaseModel):
         # Optional shape bucketing: whole-image eval sees a new input shape
         # per image (reference modcrops per image, ``EndoScene_depth_dataset``)
         # and each shape costs one XLA compile. With ``eval_bucket_multiple``
-        # set, inputs are edge-padded up to the next multiple so all images
-        # in a bucket share one compiled program; the SR output is cropped
-        # back. Padding perturbs the InstanceNorm statistics slightly, so
-        # this is off by default — the exact reference protocol compiles per
-        # shape (amortized by the persistent compilation cache).
-        bucket = int(self.opt.get("eval_bucket_multiple") or 0)
+        # set, inputs are ZERO-padded up to the next multiple and the network
+        # runs its exact valid-masked path (``DepthNet.__call__(valid_hw=…)``):
+        # every stream is re-zeroed at the true image border before each conv
+        # (implicit SAME padding lands where the unpadded net puts it),
+        # InstanceNorm statistics cover the valid region only, and the style
+        # pooling uses the host-precomputed mask (``ops.masks.pool_mask_np``).
+        # The cropped output matches the per-shape compile to fp32
+        # reduction-order noise (tests/test_eval_buckets.py), so all images
+        # in a bucket share ONE compiled program. Exact ⇒ ON by default
+        # (32); set ``eval_bucket_multiple: 0`` to force per-shape compiles.
+        bucket = self.opt.get("eval_bucket_multiple")
+        bucket = 32 if bucket is None else int(bucket)
         h, w = lq.shape[1], lq.shape[2]
-        if bucket and (h % bucket or w % bucket):
-            ph = (-h) % bucket
-            pw = (-w) % bucket
-            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
-            lq = np.pad(lq, pad, mode="edge")
-            dep = np.pad(dep, pad, mode="edge")
-            masks = np.pad(masks, pad, mode="edge")
-        sr = np.asarray(self._apply_jit(self.state.params["netG"], lq, dep, masks))
+        if bucket:
+            bucket = -(-bucket // 4) * 4  # masked path needs H,W % 4 == 0
+            hb = -(-h // bucket) * bucket
+            wb = -(-w // bucket) * bucket
+            pad = ((0, 0), (0, hb - h), (0, wb - w), (0, 0))
+            lqp = np.pad(lq, pad)
+            depp = np.pad(dep, pad)
+            maskp = np.pad(masks, pad)
+            v2h, v2w = (h + 1) // 2, (w + 1) // 2
+            v3h, v3w = (v2h + 1) // 2, (v2w + 1) // 2
+            pm = pool_mask_np(np.asarray(masks), (v3h, v3w),
+                              (hb // 4, wb // 4))
+            if getattr(self, "_apply_bucket_jit", None) is None:
+                self._apply_bucket_jit = jax.jit(
+                    lambda params, lq, d, m, pmk, hv, wv: self.netG.apply(
+                        {"params": params}, lq, d, m, valid_hw=(hv, wv),
+                        pool_mask=pmk)
+                )
+            sr = np.asarray(self._apply_bucket_jit(
+                self.state.params["netG"], lqp, depp, maskp, pm,
+                np.int32(h), np.int32(w)))
+        else:
+            sr = np.asarray(self._apply_jit(self.state.params["netG"], lq, dep, masks))
         s = self.opt["scale"]
         self.fake_SR = sr[:, : h * s, : w * s, :]
         self.fake_H = self.fake_SR

@@ -21,6 +21,7 @@ Layout: NHWC; depth masks [B,H,W,K]; style matrix [B,K,L].
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -34,9 +35,13 @@ from endosr.nn.layers import (
     WNConv,
     WNConvParams,
     WNConvTranspose,
+    centered_conv,
     chained_instance_norm,
     compose_pixel_shuffle_perm,
     fold_kernel_through_pixel_shuffle,
+    masked_chained_instance_norm,
+    masked_instance_norm,
+    valid_mask,
     instance_norm,
     leaky_relu,
     pixel_shuffle,
@@ -58,8 +63,16 @@ from endosr.nn.sean import (
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
 
-def _conv_dt(x, w, b, dtype, pad=None):
-    """SAME-ish conv in compute dtype from an fp32 kernel + bias."""
+def _conv_dt(x, w, b, dtype, pad=None, centered=False):
+    """SAME-ish conv in compute dtype from an fp32 kernel + bias.
+
+    ``centered=True`` (bf16c serving): mean-compensated low-precision conv
+    (``layers.centered_conv``) — bf16 MXU work whose rounding is relative to
+    the CENTERED signal, exact fp32 constant-offset compensation; output
+    fp32. Only valid for the default SAME padding.
+    """
+    if centered and pad is None:
+        return centered_conv(x, w, b, dtype)
     pad = w.shape[0] // 2 if pad is None else pad
     return jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), (1, 1), [(pad, pad), (pad, pad)],
@@ -108,18 +121,42 @@ class Encoder(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, depth_mask):
+    def __call__(self, x, depth_mask, valid_hw=None, pool_mask=None):
+        """``valid_hw``: (hv, wv) dynamic valid extent for exact bucketed
+        eval — every conv input is re-zeroed outside the valid region (so
+        the implicit SAME zero padding lands at the true image border) and
+        the style pooling uses ``pool_mask``, the host-precomputed
+        resized+binarized depth mask zero-padded to the latent shape."""
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if valid_hw is None:
+            m1 = m2 = m3 = m4 = None
+        else:
+            hv, wv = valid_hw
+            H, W = x.shape[1], x.shape[2]
+            v2h, v2w = (hv + 1) // 2, (wv + 1) // 2      # after stride-2
+            v3h, v3w = (v2h + 1) // 2, (v2w + 1) // 2    # after stride-2
+            v4h, v4w = 2 * v3h - 1, 2 * v3w - 1          # convT(2): 2n-1
+            m1 = valid_mask((H, W), hv, wv)
+            m2 = valid_mask((H // 2, W // 2), v2h, v2w)
+            m3 = valid_mask((H // 4, W // 4), v3h, v3w)
+            m4 = valid_mask((H // 2 - 1, W // 2 - 1), v4h, v4w)
+
+        def _m(t, m):
+            return t if m is None else t * m
+
         out = WNConv(32, 3, 1, 1, name="layer1", **kw)(x)
         feat_downscaled = out
         if self.is_baseline:
-            return leaky_relu(feat_downscaled), None
-        out = WNConv(64, 3, 2, 1, name="layer2", **kw)(leaky_relu(out))
-        out = WNConv(128, 3, 2, 1, name="layer3", **kw)(leaky_relu(out))
-        out = WNConvTranspose(self.latent_ch, 3, 2, 1, name="layer4", **kw)(leaky_relu(out))
-        out = WNConv(self.latent_ch, 3, 2, 1, name="layer5", **kw)(leaky_relu(out))
-        depth_vec = region_wise_avg_pooling(out, depth_mask)
-        return leaky_relu(feat_downscaled), depth_vec
+            return _m(leaky_relu(feat_downscaled), m1), None
+        out = WNConv(64, 3, 2, 1, name="layer2", **kw)(_m(leaky_relu(out), m1))
+        out = WNConv(128, 3, 2, 1, name="layer3", **kw)(_m(leaky_relu(out), m2))
+        out = WNConvTranspose(self.latent_ch, 3, 2, 1, name="layer4", **kw)(
+            _m(leaky_relu(out), m3))
+        out = WNConv(self.latent_ch, 3, 2, 1, name="layer5", **kw)(
+            _m(leaky_relu(out), m4))
+        depth_vec = region_wise_avg_pooling(
+            out, depth_mask if pool_mask is None else pool_mask)
+        return _m(leaky_relu(feat_downscaled), m1), depth_vec
 
 
 class EncoderNoDepthMatrix(nn.Module):
@@ -161,6 +198,11 @@ class DepthResidualBlock(nn.Module):
     # two, identical math (see endosr/nn/layers.py). Saves ~3 ms/step on
     # the flagship ×8 forward.
     chain_in: bool = True
+    # bf16c serving: block convs run as mean-compensated bf16
+    # (layers.centered_conv) while the residual stream stays fp32 — the
+    # certified fast path for regimes where plain bf16's input rounding is
+    # amplified by InstanceNorm (×2/×3, tests/test_bf16_quality.py).
+    centered: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -178,9 +220,11 @@ class DepthResidualBlock(nn.Module):
             fused_epilogue=self.fused_epilogue,
             **kw,
         )
-        self.conv1_0 = Conv(self.nf, 3, 1, 1, **kw)
+        ckw = (dict(dtype=jnp.bfloat16, param_dtype=self.param_dtype,
+                    centered=True) if self.centered else kw)
+        self.conv1_0 = Conv(self.nf, 3, 1, 1, **ckw)
         self.norm1 = SEAN(**sean_kw)
-        self.conv2_0 = Conv(self.nf, 3, 1, 1, **kw)
+        self.conv2_0 = Conv(self.nf, 3, 1, 1, **ckw)
         self.norm2 = SEAN(**sean_kw)
 
     def depth_branch_weights(self):
@@ -197,23 +241,30 @@ class DepthResidualBlock(nn.Module):
         return [self.norm1.blend_alphas(), self.norm2.blend_alphas()]
 
     def __call__(self, x, depth_map, depth_mask, depth_vec, ob=None, sb=None,
-                 mod=None):
-        """``ob``/``sb``/``mod``: optional per-SEAN precomputed modulation."""
+                 mod=None, vmask=None):
+        """``ob``/``sb``/``mod``: optional per-SEAN precomputed modulation.
+        ``vmask``: validity mask for exact bucketed eval (masked IN stats,
+        SEAN output re-zeroed outside the valid region)."""
         chain = bool(self.chain_in) and not self.fused_epilogue
-        norm = chained_instance_norm if chain else instance_norm
+        if vmask is None:
+            norm = chained_instance_norm if chain else instance_norm
+        elif chain:
+            norm = functools.partial(masked_chained_instance_norm, vmask=vmask)
+        else:
+            norm = functools.partial(masked_instance_norm, vmask=vmask)
         h = norm(self.conv1_0(x))
         h = self.norm1(h, depth_map, depth_mask, depth_vec,
                        ob=None if ob is None else ob[0],
                        sb=None if sb is None else sb[0],
                        mod=None if mod is None else mod[0],
-                       pre_normalized=chain)
+                       pre_normalized=chain, vmask=vmask)
         h = nn.relu(h)
         h = norm(self.conv2_0(h))
         h = self.norm2(h, depth_map, depth_mask, depth_vec,
                        ob=None if ob is None else ob[1],
                        sb=None if sb is None else sb[1],
                        mod=None if mod is None else mod[1],
-                       pre_normalized=chain)
+                       pre_normalized=chain, vmask=vmask)
         return nn.relu(x + h)
 
 
@@ -226,6 +277,7 @@ class ClassicResidualBlock(nn.Module):
     """
 
     nf: int = 64
+    centered: bool = False  # bf16c: mean-compensated bf16 convs, fp32 stream
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -244,11 +296,14 @@ class ClassicResidualBlock(nn.Module):
         return (wn_effective_kernel(self.block_0),
                 wn_effective_kernel(self.block_2))
 
-    def __call__(self, x):
+    def __call__(self, x, vmask=None):
         (w0, b0), (w2, b2) = self.effective_weights()
-        h = _conv_dt(x, w0, b0, self.dtype)
-        h = _conv_dt(nn.relu(h), w2, b2, self.dtype)
-        return nn.relu(x + h)
+        dt = jnp.bfloat16 if self.centered else self.dtype
+        h = _conv_dt(x, w0, b0, dt, centered=self.centered)
+        h = nn.relu(h) if vmask is None else nn.relu(h) * vmask
+        h = _conv_dt(h, w2, b2, dt, centered=self.centered)
+        out = nn.relu(x + h)
+        return out if vmask is None else out * vmask
 
 
 class DepthNet(nn.Module):
@@ -335,16 +390,61 @@ class DepthNet(nn.Module):
     # at ×2/×3 the kernel still wins (×2: 326 vs 366 ms, ×3: 28.0 vs
     # 29.7 ms). "auto" = on for scale < 4, off otherwise; booleans force.
     pallas_output: Any = "auto"
+    # bf16c serving mode: every stream conv (trunk blocks, classic blocks,
+    # folded tail and head) runs as a mean-compensated bf16 conv
+    # (layers.centered_conv) while the residual stream, InstanceNorm and
+    # modulation applies stay fp32. Removes the |mean|/sigma amplification
+    # that breaks plain bf16 at ×2/×3 (tests/test_bf16_quality.py) at
+    # near-bf16 MXU throughput. Select with ``precision: bf16c`` in the
+    # YAML (pairs with modulation_dtype=bf16 for the SEAN branches).
+    centered_convs: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, depth_map, depth_mask):
-        """x: [B,H,W,3], depth_map: [B,H,W,1], depth_mask: [B,H,W,K] → [B,H·s,W·s,3]."""
+    def __call__(self, x, depth_map, depth_mask, valid_hw=None,
+                 pool_mask=None):
+        """x: [B,H,W,3], depth_map: [B,H,W,1], depth_mask: [B,H,W,K] → [B,H·s,W·s,3].
+
+        ``valid_hw``: optional (hv, wv) dynamic scalars for EXACT bucketed
+        eval — inputs are zero-padded to a bucket shape on the host and the
+        network re-zeroes every stream outside rows<hv/cols<wv before each
+        conv (so the implicit SAME zero padding falls at the true image
+        border), computes InstanceNorm statistics over the valid region
+        only, and pools styles with ``pool_mask`` (the host-precomputed
+        resized+binarized depth mask, zero-padded to the latent shape).
+        The [:hv·s, :wv·s] crop of the output then matches the unpadded
+        forward to fp32 reduction-order noise. Requires H, W divisible by 4.
+        """
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         nb = self.nb
         which = set(self.which_resblk_depth)
         is_baseline = len(which) == 0
+
+        if valid_hw is None:
+            vm = None
+        else:
+            if (self.ablate_depth_matrix or self.ablate_depth_block
+                    or self.fused_epilogue):
+                raise ValueError(
+                    "exact bucketed eval (valid_hw) supports the standard "
+                    "DepthNet paths only — not ablations or the Pallas "
+                    "fused epilogue")
+            hv, wv = valid_hw
+            Hp, Wp = x.shape[1], x.shape[2]
+            vm = valid_mask((Hp, Wp), hv, wv)
+
+        def _vm_for(t):
+            if vm is None:
+                return None
+            rh, rw = t.shape[1] // Hp, t.shape[2] // Wp
+            if (rh, rw) == (1, 1):
+                return vm
+            return valid_mask((t.shape[1], t.shape[2]), hv * rh, wv * rw)
+
+        def _m(t):
+            m = _vm_for(t)
+            return t if m is None else t * m
 
         # encoder
         if self.ablate_depth_matrix:
@@ -355,11 +455,11 @@ class DepthNet(nn.Module):
             feat_downscaled, depth_vec = Encoder(
                 latent_ch=self.depth_latent_ch, is_baseline=is_baseline,
                 name="encoder", **kw,
-            )(x, depth_mask)
+            )(x, depth_mask, valid_hw=valid_hw, pool_mask=pool_mask)
 
         # head: 2× wn-conv + LeakyReLU (Sequential indices 0 and 2)
-        fea = leaky_relu(WNConv(64, 3, 1, 1, name="head_0", **kw)(feat_downscaled))
-        fea_bef = leaky_relu(WNConv(64, 3, 1, 1, name="head_2", **kw)(fea))
+        fea = _m(leaky_relu(WNConv(64, 3, 1, 1, name="head_0", **kw)(feat_downscaled)))
+        fea_bef = _m(leaky_relu(WNConv(64, 3, 1, 1, name="head_2", **kw)(fea)))
         fea_in = fea_bef
 
         # ×8 → trailing 2 blocks at 32 ch; ×4 → trailing 1; ×2/×3 → all 64
@@ -384,11 +484,15 @@ class DepthNet(nn.Module):
                     ablate_depth_block=self.ablate_depth_block,
                     fused_epilogue=self.fused_epilogue,
                     chain_in=self.chain_in,
+                    centered=self.centered_convs,
                     name=f"depth_residual{i + 1}", **kw,
                 )
             else:
+                tail_blk = i >= nb - 2 and self.scale < 4
                 blocks[i] = ClassicResidualBlock(
-                    nf=block_ch(i), name=f"classic_residual{i + 1}", **kw
+                    nf=block_ch(i),
+                    centered=self.centered_convs and not tail_blk,
+                    name=f"classic_residual{i + 1}", **kw
                 )
 
         # Hoist the loop-invariant SEAN depth-map branch: all trunk depth
@@ -410,7 +514,7 @@ class DepthNet(nn.Module):
             # mixed precision: branch outputs stay in mod_dt; the SEAN
             # epilogue's promotion (mod_dt + fp32 x̂) keeps the trunk fp32
             can_fuse = (self.fused_modulation and not self.ablate_depth_matrix
-                        and depth_vec is not None)
+                        and depth_vec is not None and vm is None)
             want_style = ((self.hoist_style and not self.ablate_depth_matrix)
                           or can_fuse)
             if want_style:
@@ -451,14 +555,14 @@ class DepthNet(nn.Module):
                 weights.extend(blocks[i].depth_branch_weights())
             from endosr.kernels.fused_obranch import fused_o_branch_supported
 
-            if (self.pallas_obranch
+            if (self.pallas_obranch and vm is None
                     and fused_o_branch_supported(*size, mod_dt)):
                 # fused conv1+ReLU+conv2 per VMEM tile — the N·2C-wide
                 # intermediate activation never touches HBM (see
                 # endosr/kernels/fused_obranch.py)
                 obs = pallas_o_branch(weights, dmap_g, mod_dt)
             else:
-                obs = hoisted_o_branch(weights, dmap_g, mod_dt)
+                obs = hoisted_o_branch(weights, dmap_g, mod_dt, vmask=vm)
             for idx, i in enumerate(ids):
                 ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
             if want_style:
@@ -483,7 +587,8 @@ class DepthNet(nn.Module):
                 o_weights.extend(blocks[i].depth_branch_weights())
                 if want_style:
                     s_weights.extend(blocks[i].style_branch_weights())
-            actv_chunks = precompute_o_actv(o_weights, dmap, mod_dt)
+            actv_chunks = precompute_o_actv(o_weights, dmap, mod_dt,
+                                            vmask=vm)
             for idx, i in enumerate(trunk_depth):
                 lazy_o[i] = (actv_chunks[2 * idx], o_weights[2 * idx],
                              actv_chunks[2 * idx + 1], o_weights[2 * idx + 1])
@@ -535,8 +640,9 @@ class DepthNet(nn.Module):
                     ob = (o_branch_from_actv(a1, w1, mod_dt),
                           o_branch_from_actv(a2, w2, mod_dt))
                 return blocks[i](feat, depth_map, depth_mask, depth_vec,
-                                 ob=ob, sb=sb, mod=mod_map.get(i))
-            return blocks[i](feat)
+                                 ob=ob, sb=sb, mod=mod_map.get(i),
+                                 vmask=_vm_for(feat))
+            return blocks[i](feat, vmask=_vm_for(feat))
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)
         for i in range(nb - 3):
@@ -553,6 +659,12 @@ class DepthNet(nn.Module):
 
         feat_add1 = fea_in + fea_bef  # global skip
 
+        # bf16c applies centered-bf16 to the TAIL only at >=x4: at x2/x3 the
+        # tail runs past the last InstanceNorm, so its rounding reaches the
+        # output unfiltered while costing few FLOPs (the x2 trunk is 6x the
+        # tail) — fp32 there buys ~7 dB of the certification for ~no speed.
+        cc = bool(self.centered_convs) and self.scale >= 4
+        cc_dt = jnp.bfloat16 if cc else self.dtype
         final_scale = 3 if self.scale == 3 else 2
         # ×8 upscale1-defer: the 32-channel tensors between upscale1 and
         # upscale2 are lane-padded 4× (32 of 128 lanes) and their convs
@@ -575,13 +687,13 @@ class DepthNet(nn.Module):
                 WNConvParams(64 * 9, (3, 3, 64, 32), self.param_dtype),
             )
             w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
-            z = leaky_relu(_conv_dt(h, w13, b13, self.dtype))
+            z = leaky_relu(_conv_dt(_m(h), w13, b13, cc_dt, centered=cc))
             # classic block 15 (blocks[nb-2]) folded by 2
             (wb0, bb0), (wb2, bb2) = blocks[nb - 2].effective_weights()
             wb0, bb0 = _fold_wb(wb0, bb0, 2)
             wb2, bb2 = _fold_wb(wb2, bb2, 2)
-            t = nn.relu(_conv_dt(z, wb0, bb0, self.dtype))
-            z = nn.relu(z + _conv_dt(t, wb2, bb2, self.dtype))
+            t = nn.relu(_conv_dt(_m(z), wb0, bb0, cc_dt, centered=cc))
+            z = nn.relu(z + _conv_dt(_m(t), wb2, bb2, cc_dt, centered=cc))
             # upscale2_0 folded by 2 (native 32→128): 128→512 at LR², then
             # the deferred upscale1 shuffle is applied for real — its output
             # channel layout is already canonical PS(2)
@@ -590,28 +702,29 @@ class DepthNet(nn.Module):
                 WNConvParams(32 * 9, (3, 3, 32, 32 * 4), self.param_dtype),
             )
             w20, b20 = _fold_wb(*wn_effective_kernel(p20), 2)
-            z = leaky_relu(_conv_dt(z, w20, b20, self.dtype))
+            z = leaky_relu(_conv_dt(_m(z), w20, b20, cc_dt, centered=cc))
             z = pixel_shuffle(z, 2)
             r = 2
             p23 = self.param(
                 "upscale2_3", WNConvParams(32 * 9, (3, 3, 32, 32), self.param_dtype)
             )
             w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
-            z = leaky_relu(_conv_dt(z, w23, b23, self.dtype))
+            z = leaky_relu(_conv_dt(_m(z), w23, b23, cc_dt, centered=cc))
             # classic block 16 (blocks[nb-1]) with both convs folded by r
             (wc0, bc0), (wc2, bc2) = blocks[nb - 1].effective_weights()
             wc0, bc0 = _fold_wb(wc0, bc0, r)
             wc2, bc2 = _fold_wb(wc2, bc2, r)
-            t = nn.relu(_conv_dt(z, wc0, bc0, self.dtype))
-            z = nn.relu(z + _conv_dt(t, wc2, bc2, self.dtype))
-            return self._folded_head(z, r, final_scale)
+            t = nn.relu(_conv_dt(_m(z), wc0, bc0, cc_dt, centered=cc))
+            z = nn.relu(z + _conv_dt(_m(t), wc2, bc2, cc_dt, centered=cc))
+            return self._folded_head(z, r, final_scale, vmask=_vm_for(z))
 
         # upscale1 (×8 only): 64→256 → PS(2) → 64→32 — kept at real
         # resolution; the expensive later stages defer theirs.
         if self.scale == 8:
             h = leaky_relu(WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1))
             h = pixel_shuffle(h, 2)
-            feat_up1 = leaky_relu(WNConv(32, 3, 1, 1, name="upscale1_3", **kw)(h))
+            feat_up1 = _m(leaky_relu(
+                WNConv(32, 3, 1, 1, name="upscale1_3", **kw)(_m(h))))
         else:
             feat_up1 = feat_add1
 
@@ -637,7 +750,7 @@ class DepthNet(nn.Module):
                 WNConvParams(cin20 * 9, (3, 3, cin20, 32 * 4), self.param_dtype),
             )
             w20, b20 = wn_effective_kernel(p20)
-            z = leaky_relu(_conv_dt(z, w20, b20, self.dtype))
+            z = leaky_relu(_conv_dt(z, w20, b20, cc_dt, centered=cc))
             if fold:
                 r = 2  # conv output channels are already canonical PS(2) layout
             else:
@@ -646,21 +759,21 @@ class DepthNet(nn.Module):
                 "upscale2_3", WNConvParams(32 * 9, (3, 3, 32, 32), self.param_dtype)
             )
             w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
-            z = leaky_relu(_conv_dt(z, w23, b23, self.dtype))
+            z = leaky_relu(_conv_dt(_m(z), w23, b23, cc_dt, centered=cc))
             if fold:
                 # classic block nb-1 with both convs folded by r
                 (wb0, bb0), (wb2, bb2) = blocks[nb - 1].effective_weights()
                 wb0, bb0 = _fold_wb(wb0, bb0, r)
                 wb2, bb2 = _fold_wb(wb2, bb2, r)
-                t = nn.relu(_conv_dt(z, wb0, bb0, self.dtype))
-                z = nn.relu(z + _conv_dt(t, wb2, bb2, self.dtype))
+                t = nn.relu(_conv_dt(_m(z), wb0, bb0, cc_dt, centered=cc))
+                z = nn.relu(z + _conv_dt(_m(t), wb2, bb2, cc_dt, centered=cc))
             else:
-                z = run_block(nb - 1, z)
+                z = run_block(nb - 1, _m(z))
         else:
             z = run_block(nb - 1, z)
 
         if fold:
-            return self._folded_head(z, r, final_scale)
+            return self._folded_head(z, r, final_scale, vmask=_vm_for(z))
 
         # upscale3: ch→32·fs² → PS(fs)
         p30 = self.param(
@@ -670,7 +783,7 @@ class DepthNet(nn.Module):
                          self.param_dtype),
         )
         w30, b30 = wn_effective_kernel(p30)
-        h = _conv_dt(z, w30, b30, self.dtype)
+        h = _conv_dt(z, w30, b30, cc_dt, centered=cc)
         if self.fold_output_conv:
             # fold only the head through the final shuffle (the ×8/×4
             # mid-tail shuffles were already applied for real above)
@@ -680,10 +793,11 @@ class DepthNet(nn.Module):
                 head["kernel"].astype(jnp.float32),
                 head["bias"].astype(jnp.float32), fs,
             )
-            out = pixel_shuffle(_conv_dt(leaky_relu(h), wh, bh, self.dtype), fs)
+            out = pixel_shuffle(
+                _conv_dt(_m(leaky_relu(h)), wh, bh, cc_dt, centered=cc), fs)
         else:
             feat_up3 = leaky_relu(pixel_shuffle(h, final_scale))
-            out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(feat_up3)
+            out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(_m(feat_up3))
         return jnp.clip(out.astype(jnp.float32), self.clamp_min, self.clamp_max)
 
     def _init_head(self, rng):
@@ -696,7 +810,7 @@ class DepthNet(nn.Module):
             "bias": init(k2, (self.out_nc,), self.param_dtype),
         }
 
-    def _folded_head(self, z, r, final_scale):
+    def _folded_head(self, z, r, final_scale, vmask=None):
         """upscale3 + 9×9 head with every pending shuffle deferred.
 
         ``z``: folded tail features at SR/(r·fs) resolution with channels in
@@ -704,7 +818,14 @@ class DepthNet(nn.Module):
         pending shuffles (compose_pixel_shuffle_perm keeps the layout
         canonical), then emits the clipped fp32 SR image in one
         Pallas output-stage pass (or XLA shuffle+clip when disabled).
+        ``vmask``: validity mask at z's resolution (exact bucketed eval).
         """
+        cc = bool(self.centered_convs) and self.scale >= 4
+        cc_dt = jnp.bfloat16 if cc else self.dtype
+
+        def _m(t):
+            return t if vmask is None else t * vmask
+
         cin30 = z.shape[-1] // (r * r)
         p30 = self.param(
             "upscale3_0",
@@ -717,14 +838,14 @@ class DepthNet(nn.Module):
         perm = compose_pixel_shuffle_perm(
             r, final_scale, 32 * final_scale ** 2 * r * r
         )
-        z = _conv_dt(z, w30[..., perm], b30[perm], self.dtype)
+        z = _conv_dt(_m(z), w30[..., perm], b30[perm], cc_dt, centered=cc)
         r *= final_scale
         head = self.param("conv_output", self._init_head)
         wh, bh = _fold_wb(
             head["kernel"].astype(jnp.float32),
             head["bias"].astype(jnp.float32), r,
         )
-        pre = _conv_dt(leaky_relu(z), wh, bh, self.dtype)
+        pre = _conv_dt(_m(leaky_relu(z)), wh, bh, cc_dt, centered=cc)
         # clip commutes with the shuffle and with the fp32 convert
         # (0/1 exact in bf16); see the pallas_output flag for the measured
         # per-scale split between the fused kernel and the XLA lowering

@@ -34,6 +34,10 @@ __all__ = [
     "leaky_relu",
     "fold_kernel_through_pixel_shuffle",
     "compose_pixel_shuffle_perm",
+    "centered_conv",
+    "masked_instance_norm",
+    "masked_chained_instance_norm",
+    "valid_mask",
 ]
 
 Dtype = Any
@@ -69,7 +73,12 @@ def _conv(x, w, strides, padding, dtype, lhs_dilation=None, groups=1):
 
 
 class Conv(nn.Module):
-    """Plain conv2d with torch-default init; NHWC, torch-style int padding."""
+    """Plain conv2d with torch-default init; NHWC, torch-style int padding.
+
+    ``centered=True`` routes through :func:`centered_conv` (mean-compensated
+    low-precision conv; requires stride 1, square SAME padding, no groups) —
+    the bf16c serving mode for offset-carrying stream tensors.
+    """
 
     features: int
     kernel_size: int | tuple[int, int] = 3
@@ -77,6 +86,7 @@ class Conv(nn.Module):
     padding: int | tuple[int, int] = 1
     use_bias: bool = True
     groups: int = 1
+    centered: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -89,9 +99,14 @@ class Conv(nn.Module):
             "kernel", torch_conv_init(fan_in),
             (kh, kw, in_ch // self.groups, self.features), self.param_dtype,
         )
+        b = (self.param("bias", torch_conv_init(fan_in), (self.features,),
+                        self.param_dtype) if self.use_bias else None)
+        if self.centered:
+            assert self.groups == 1 and _pair(self.strides) == (1, 1)
+            assert kh == kw and _pair(self.padding) == (kh // 2, kh // 2)
+            return centered_conv(x, w, b, self.dtype)
         y = _conv(x, w, self.strides, self.padding, self.dtype, groups=self.groups)
-        if self.use_bias:
-            b = self.param("bias", torch_conv_init(fan_in), (self.features,), self.param_dtype)
+        if b is not None:
             y = y + b.astype(self.dtype)
         return y
 
@@ -310,6 +325,125 @@ def chained_instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     var = jnp.maximum(sq / n - mean * mean, 0.0)
     scale = jax.lax.rsqrt(var + eps) * jax.lax.rsqrt(var / (var + eps) + eps)
     return ((x32 - mean) * scale).astype(x.dtype)
+
+
+def masked_instance_norm(x: jax.Array, vmask: jax.Array,
+                         eps: float = 1e-5) -> jax.Array:
+    """:func:`instance_norm` over the VALID region only (exact bucketed eval).
+
+    ``vmask``: [B|1, H, W, 1] float 0/1 validity mask. Statistics use the
+    masked count instead of H·W, and the output is re-zeroed outside the
+    valid region (so downstream convs see exactly the zero padding the
+    unpadded network would apply implicitly). With a full-ones mask this is
+    :func:`instance_norm` up to fp32 reduction order.
+    """
+    x32 = x.astype(jnp.float32) * vmask
+    n = jnp.sum(vmask, axis=(1, 2), keepdims=True)
+    s = jnp.sum(x32, axis=(1, 2), keepdims=True)
+    sq = jnp.sum(x32 * x32, axis=(1, 2), keepdims=True)
+    mean = s / n
+    var = jnp.maximum(sq / n - mean * mean, 0.0)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps) * vmask).astype(x.dtype)
+
+
+def masked_chained_instance_norm(x: jax.Array, vmask: jax.Array,
+                                 eps: float = 1e-5) -> jax.Array:
+    """:func:`chained_instance_norm` with valid-region statistics (see
+    :func:`masked_instance_norm`); output zeroed outside the valid region."""
+    x32 = x.astype(jnp.float32) * vmask
+    n = jnp.sum(vmask, axis=(1, 2), keepdims=True)
+    s = jnp.sum(x32, axis=(1, 2), keepdims=True)
+    sq = jnp.sum(x32 * x32, axis=(1, 2), keepdims=True)
+    mean = s / n
+    var = jnp.maximum(sq / n - mean * mean, 0.0)
+    scale = jax.lax.rsqrt(var + eps) * jax.lax.rsqrt(var / (var + eps) + eps)
+    return ((x32 - mean) * scale * vmask).astype(x.dtype)
+
+
+def valid_mask(shape_hw: tuple[int, int], hv, wv,
+               dtype: Dtype = jnp.float32) -> jax.Array:
+    """[1, H, W, 1] mask that is 1 on rows < ``hv`` and cols < ``wv``.
+
+    ``hv``/``wv`` may be traced scalars — the bucketed-eval path passes the
+    per-image valid extent dynamically so one compiled program serves every
+    image in the bucket.
+    """
+    H, W = shape_hw
+    r = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0) < hv
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1) < wv
+    return (r & c).astype(dtype)[None, :, :, None]
+
+
+def centered_conv(x: jax.Array, w: jax.Array, b: jax.Array | None,
+                  dtype: Dtype) -> jax.Array:
+    """Mean-compensated low-precision conv: bf16 MXU work at fp32-centered
+    accuracy. Stride 1, odd k×k kernel, SAME (k//2) zero padding, NHWC.
+
+    The plain ``conv(x.astype(bf16), w)`` loses the small signal riding on a
+    large per-channel offset: bf16 rounds x to ~2⁻⁹ RELATIVE error, so a
+    channel at mean m with variation σ ≪ m keeps only σ/(m·2⁻⁹) of its
+    signal — the regime that breaks the ×2/×3 full-bf16 serving path (see
+    tests/test_bf16_quality.py). Here the conv is split linearly:
+
+        conv(x) = conv(x − m) + conv(m·1)
+
+    with m the per-(sample, in-channel) spatial mean. The first term is the
+    bf16 conv of CENTERED data (rounding now relative to σ, fp32
+    accumulation via preferred_element_type); the second is the conv of a
+    spatially-constant image, computed EXACTLY in fp32 at O(k²·C_in·C_out):
+    away from borders it is m·Σ_taps w, and within the p-pixel border ring
+    only a contiguous tap range is valid, giving (2p+1)² distinct cases
+    materialized from two cumulative sums of the kernel.
+
+    Returns fp32 (the callers feed InstanceNorm / residual streams that
+    stay fp32 in this mode). Falls back to a plain fp32 conv when the
+    spatial extent is too small for the border-case table (H or W < k).
+    """
+    k = int(w.shape[0])
+    p = k // 2
+    H, W = x.shape[1], x.shape[2]
+    if dtype == jnp.float32 or H < k or W < k:
+        y = _conv(x.astype(jnp.float32), w.astype(jnp.float32), 1, p,
+                  jnp.float32)
+        return y if b is None else y + b.astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    m = jnp.mean(x32, axis=(1, 2))  # [B, Cin]
+    d = (x32 - m[:, None, None, :]).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        d, w.astype(dtype), (1, 1), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+    # exact fp32 conv of the constant image m·1: output row y uses tap rows
+    # t with 0 ≤ y+t−p < H → a contiguous range; 2p+1 distinct row cases
+    # (p top rows, interior, p bottom rows), same for columns.
+    w32 = w.astype(jnp.float32)
+    cs_r = jnp.cumsum(jnp.pad(w32, ((1, 0), (0, 0), (0, 0), (0, 0))), axis=0)
+    # row-case c (0..2p): top rows use taps [p−c, k), interior all,
+    # bottom row H−1−c' uses taps [0, 2p−c']
+    rows = [cs_r[k] - cs_r[p - c] for c in range(p)]
+    rows.append(cs_r[k] - cs_r[0])
+    rows += [cs_r[2 * p - c] - cs_r[0] for c in range(p)]
+    S_r = jnp.stack(rows)  # [2p+1, k, Cin, Cout] summed over rows
+    cs_c = jnp.cumsum(jnp.pad(S_r, ((0, 0), (1, 0), (0, 0), (0, 0))), axis=1)
+    cols = [cs_c[:, k] - cs_c[:, p - c] for c in range(p)]
+    cols.append(cs_c[:, k] - cs_c[:, 0])
+    cols += [cs_c[:, 2 * p - c] - cs_c[:, 0] for c in range(p)]
+    S = jnp.stack(cols, axis=1)  # [2p+1, 2p+1, Cin, Cout]
+
+    v = jnp.einsum("bi,rcio->brco", m, S)  # [B, 2p+1, 2p+1, Cout]
+    ridx = np.full(H, p, np.int32)
+    ridx[:p] = np.arange(p)
+    ridx[H - p:] = np.arange(p + 1, 2 * p + 1)
+    cidx = np.full(W, p, np.int32)
+    cidx[:p] = np.arange(p)
+    cidx[W - p:] = np.arange(p + 1, 2 * p + 1)
+    corr = v[:, ridx][:, :, cidx]  # [B, H, W, Cout]
+
+    y = y + corr
+    return y if b is None else y + b.astype(jnp.float32)
 
 
 def pixel_shuffle(x: jax.Array, r: int) -> jax.Array:

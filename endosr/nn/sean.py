@@ -84,13 +84,17 @@ def _split_channels_bwd(n, c, _, g):
 _split_channels.defvjp(_split_channels_fwd, _split_channels_bwd)
 
 
-def hoisted_o_branch(weights, depth_map, dtype):
+def hoisted_o_branch(weights, depth_map, dtype, vmask=None):
     """Evaluate many SEAN depth-map branches in one pass.
 
     ``weights``: list of ``(w_mask{kernel,bias}, w_ob, b_ob)`` per SEAN
     instance (all with the same channel count C), as returned by
     :meth:`SEAN.depth_branch_weights`. ``depth_map``: [B,h,w,1] already at
-    the shared feature resolution.
+    the shared feature resolution. ``vmask``: validity mask for exact
+    bucketed eval — the branch is a conv CHAIN, so the intermediate
+    activation must be re-zeroed at the true image border (its pad region
+    carries relu(bias) garbage that the second conv would smear one pixel
+    into the valid region).
 
     Returns a list of ``(γ_o, β_o)`` per instance. Equivalent to each
     instance running ``relu(conv1(d))`` then its fused γ‖β conv, but batched:
@@ -113,6 +117,8 @@ def hoisted_o_branch(weights, depth_map, dtype):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + b_mask
     )  # [B,h,w,N·2C]
+    if vmask is not None:
+        actv = actv * vmask.astype(actv.dtype)
 
     w_ob = jnp.concatenate([w.astype(dtype) for (_, w, _) in weights], axis=-1)
     b_ob = jnp.concatenate([b.astype(dtype) for (_, _, b) in weights])
@@ -127,8 +133,11 @@ def hoisted_o_branch(weights, depth_map, dtype):
     return [(chunks[2 * i], chunks[2 * i + 1]) for i in range(n)]
 
 
-def precompute_o_actv(weights, depth_map, dtype):
+def precompute_o_actv(weights, depth_map, dtype, vmask=None):
     """Shared first stage of the lazy o-branch: one wide 1→N·2C conv + ReLU.
+
+    ``vmask``: see :func:`hoisted_o_branch` — masks the chain intermediate
+    for exact bucketed eval.
 
     The [B,h,w,N·2C] activation is instance-major (instance i owns channels
     [i·2C, (i+1)·2C)). Returned split into per-instance chunks (via the
@@ -153,6 +162,8 @@ def precompute_o_actv(weights, depth_map, dtype):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + b_mask
     )
+    if vmask is not None:
+        actv = actv * vmask.astype(actv.dtype)
     return _split_channels(actv, n, c2)
 
 
@@ -477,7 +488,7 @@ class SEAN(nn.Module):
                 jnp.asarray([self.norm_beta], self.param_dtype))
 
     def __call__(self, x, depth_map, depth_mask, st, ob=None, sb=None,
-                 mod=None, pre_normalized=False):
+                 mod=None, pre_normalized=False, vmask=None):
         """x: [B,h,w,C]; depth_map: [B,H,W,1]; depth_mask: [B,H,W,K]; st: [B,K,L].
 
         ``ob``/``sb``: optional precomputed (γ_o, β_o) / (γ_s, β_s) at x's
@@ -487,14 +498,19 @@ class SEAN(nn.Module):
         ``pre_normalized``: the caller already folded this SEAN's param-free
         norm into its own preceding InstanceNorm (chained_instance_norm) —
         skip the internal normalization and modulate x directly.
+        ``vmask``: [B|1,h,w,1] validity mask for exact bucketed eval — the
+        norm uses valid-region statistics and the modulated output is
+        re-zeroed outside the valid region (β would otherwise leak garbage
+        into the padding that feeds the next conv).
         """
         c = self.norm_nc
         size = (x.shape[1], x.shape[2])
 
         def epilogue(gamma, beta):
             if pre_normalized:
-                return x * (1 + gamma) + beta
-            if self.fused_epilogue:
+                y = x * (1 + gamma) + beta
+                return y if vmask is None else y * vmask
+            if self.fused_epilogue and vmask is None:
                 from endosr.kernels.fused_in_mod import (
                     fused_instance_norm_modulate,
                 )
@@ -502,6 +518,11 @@ class SEAN(nn.Module):
                 return fused_instance_norm_modulate(
                     x, gamma.astype(jnp.float32), beta.astype(jnp.float32)
                 )
+            if vmask is not None:
+                from endosr.nn.layers import masked_instance_norm
+
+                return (masked_instance_norm(x, vmask) * (1 + gamma)
+                        + beta) * vmask
             return instance_norm(x) * (1 + gamma) + beta
 
         if mod is not None:
@@ -528,6 +549,9 @@ class SEAN(nn.Module):
         else:
             depth_map = interpolate_nearest(depth_map, size).astype(self.dtype)
             actv = jax.nn.relu(self._conv(depth_map, self.w_mask))
+            if vmask is not None:
+                # conv chain: re-zero the intermediate at the image border
+                actv = actv * vmask.astype(actv.dtype)
             w_ob = jnp.concatenate(
                 [self.w_go["kernel"].astype(self.dtype),
                  self.w_bo["kernel"].astype(self.dtype)], axis=-1,

@@ -19,7 +19,52 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["depth_masks_np", "depth_masks"]
+__all__ = ["depth_masks_np", "depth_masks", "pool_mask_np"]
+
+
+def _lerp_resize_axis(m: np.ndarray, out_len: int, axis: int) -> np.ndarray:
+    """One axis of torch-bilinear (align_corners) resize as an explicit
+    two-term fp32 lerp — arithmetic-identical to the matrix einsum the
+    device path uses (a two-nonzero row dot is order-independent)."""
+    in_len = m.shape[axis]
+    if in_len == out_len:
+        return m
+    if out_len == 1:
+        return np.take(m, [0], axis=axis)
+    src = np.arange(out_len, dtype=np.float64) * (in_len - 1) / (out_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    f = (src - lo).astype(np.float32)
+    shape = [1] * m.ndim
+    shape[axis] = out_len
+    f = f.reshape(shape)
+    a = np.take(m, lo, axis=axis)
+    b = np.take(m, hi, axis=axis)
+    return (np.float32(1.0) - f) * a + f * b
+
+
+def pool_mask_np(masks: np.ndarray, out_hw: tuple[int, int],
+                 pad_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """Host twin of the RegionWiseAvgPooling mask resize (exact bucketed eval).
+
+    ``masks``: [B, h, w, K] binary depth masks at the (unpadded) input
+    resolution. Resized to ``out_hw`` — the encoder latent's VALID spatial
+    size — with the same torch-bilinear align_corners interpolation +
+    ≥0.5 binarization the device performs (``depthnet.region_wise_avg_pooling``,
+    reference ``sftmd_arch.py:714-718``), then zero-padded to ``pad_hw``
+    (the padded latent shape) so the padded pooling einsum excludes every
+    garbage latent pixel and its denominator matches the unpadded run.
+    """
+    m = masks.astype(np.float32)
+    if (m.shape[1], m.shape[2]) != tuple(out_hw):
+        m = _lerp_resize_axis(m, out_hw[0], 1)
+        m = _lerp_resize_axis(m, out_hw[1], 2)
+        m = (m >= 0.5).astype(np.float32)
+    if pad_hw is not None:
+        ph, pw = pad_hw[0] - m.shape[1], pad_hw[1] - m.shape[2]
+        if ph or pw:
+            m = np.pad(m, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return m
 
 
 def depth_masks_np(depth: np.ndarray, fixed_range: bool = True,

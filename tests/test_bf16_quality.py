@@ -221,3 +221,35 @@ def test_mixed_precision_within_budget(scale, latent):
     psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
     assert psnr >= 45.0, (
         f"x{scale} mixed: mismatch-PSNR {psnr:.2f} dB eats the budget")
+
+
+@pytest.mark.parametrize("scale,latent,bound_db", [(2, 32, 40.0), (3, 64, 38.0)])
+def test_bf16c_centered_mode_quality(scale, latent, bound_db):
+    """``precision: bf16c`` serving (mean-compensated bf16 stream convs +
+    bf16 SEAN branches + fp32 residual stream) must recover most of the
+    InstanceNorm offset-amplification loss that breaks plain bf16 at ×2/×3:
+    measured 43.9 dB (×2) / 42.0 dB (×3) in this pathologically amplifying
+    random-init proxy regime, vs 30/28 dB for plain bf16. The bounds below
+    catch regressions; trained O(1)-activation trunks land higher still
+    (see layers.centered_conv and BASELINE.md)."""
+    lr = 48
+    lq = _smooth((lr, lr, 3))[None]
+    depth = _smooth((lr, lr, 1))[None]
+    masks = depth_masks_np(depth[0, ..., 0], True, 10)[None].astype(np.float32)
+
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=scale,
+              depth_latent_ch=latent, depth_range_num=10)
+    net32 = DepthNet(dtype=jnp.float32, **kw)
+    netc = DepthNet(dtype=jnp.float32, modulation_dtype=jnp.bfloat16,
+                    centered_convs=True, **kw)
+    params = net32.init(jax.random.PRNGKey(scale), lq, depth, masks)["params"]
+    assert (jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        netc.init(jax.random.PRNGKey(scale), lq, depth, masks)["params"]))
+
+    out32 = np.asarray(net32.apply({"params": params}, lq, depth, masks))
+    outc = np.asarray(netc.apply({"params": params}, lq, depth, masks))
+    assert outc.dtype == np.float32
+    mse = float(np.mean((outc.astype(np.float64) - out32) ** 2))
+    psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
+    assert psnr >= bound_db, (
+        f"x{scale}: bf16c mismatch-PSNR {psnr:.2f} dB below {bound_db} dB")

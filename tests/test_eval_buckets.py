@@ -50,19 +50,57 @@ def test_one_compile_per_bucket():
         assert model.fake_SR.shape == (1, h * 4, w * 4, 3)
         assert np.isfinite(model.fake_SR).all()
     # (13,17)->(16,32), (14,18)->(16,32), (15,19)->(16,32), (9,30)->(16,32)
-    assert model._apply_jit._cache_size() == 1
+    assert model._apply_bucket_jit._cache_size() == 1
 
 
-def test_no_bucket_compiles_per_shape_and_is_exact():
-    model = FModelDepthCond(_opt(bucket=None))
-    b = _batch(16, 16)
-    model.feed_data(b)
-    model.test()
-    exact = model.fake_SR.copy()
+def test_bucketed_eval_is_exact():
+    """The masked-eval path (zero pad + valid_hw + host pool mask) must match
+    the per-shape unpadded forward to fp32 reduction-order noise — bucketing
+    is EXACT, not approximate (VERDICT r1 item 6)."""
+    for h, w in [(13, 17), (16, 16), (15, 10)]:
+        b = _batch(h, w)
+        model = FModelDepthCond(_opt(bucket=0))  # explicit off: per-shape
+        model.feed_data(b)
+        model.test()
+        exact = model.fake_SR.copy()
 
-    bucketed = FModelDepthCond(_opt(bucket=16))
-    bucketed.state = model.state  # same params
-    bucketed.feed_data(b)
-    bucketed.test()
-    # aligned shapes take the no-pad path — bit-identical to the exact run
-    np.testing.assert_array_equal(exact, bucketed.fake_SR)
+        bucketed = FModelDepthCond(_opt(bucket=16))
+        bucketed.state = model.state  # same params
+        bucketed.feed_data(b)
+        bucketed.test()
+        np.testing.assert_allclose(bucketed.fake_SR, exact,
+                                   rtol=0, atol=2e-5)
+
+
+def test_masked_forward_exact_all_scales():
+    """DepthNet(valid_hw=…) must reproduce the unpadded forward at every
+    scale wiring — ×8 (upscale1-defer fold), ×4, ×3 (final_scale 3) and ×2
+    exercise different tails — including odd valid sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.nn.depthnet import DepthNet
+    from endosr.ops.masks import depth_masks_np, pool_mask_np
+
+    rng = np.random.default_rng(3)
+    for scale, (h, w) in [(4, (13, 17)), (8, (11, 14)), (2, (15, 10)),
+                          (3, (9, 21))]:
+        lq = rng.random((1, h, w, 3), dtype=np.float32)
+        dep = rng.random((1, h, w, 1), dtype=np.float32)
+        masks = depth_masks_np(dep[0, ..., 0], True, 6)[None].astype(np.float32)
+        net = DepthNet(which_resblk_depth=tuple(range(14)), scale=scale,
+                       depth_latent_ch=16, depth_range_num=6)
+        params = net.init(jax.random.PRNGKey(scale), lq, dep, masks)["params"]
+        ref = np.asarray(net.apply({"params": params}, lq, dep, masks))
+        B = 8
+        hb, wb = -(-h // B) * B, -(-w // B) * B
+        pad = ((0, 0), (0, hb - h), (0, wb - w), (0, 0))
+        v3h, v3w = ((h + 1) // 2 + 1) // 2, ((w + 1) // 2 + 1) // 2
+        pm = pool_mask_np(masks, (v3h, v3w), (hb // 4, wb // 4))
+        out = np.asarray(net.apply(
+            {"params": params}, np.pad(lq, pad), np.pad(dep, pad),
+            np.pad(masks, pad),
+            valid_hw=(jnp.int32(h), jnp.int32(w)), pool_mask=pm))
+        np.testing.assert_allclose(out[:, :h * scale, :w * scale], ref,
+                                   rtol=0, atol=2e-5,
+                                   err_msg=f"x{scale} ({h},{w})")
