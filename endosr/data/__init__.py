@@ -158,7 +158,10 @@ class ShardedLoader:
             # unblock + drain the producer so an abandoned iterator doesn't
             # leave a thread parked on a full queue into interpreter exit
             abandoned.set()
-            t.join(timeout=5)
+            try:
+                t.join(timeout=5)
+            except TypeError:  # interpreter teardown: threading internals gone
+                pass
 
 
     def _iter_multiprocess(self, batches):

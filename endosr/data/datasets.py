@@ -130,9 +130,96 @@ class LQGTKerDepthDataset(_Base):
                 f"{len(self.LR_paths)}, {len(self.GT_paths)}, {len(self.Depth_paths)}."
             )
 
+    def _prepared_train(self, index):
+        """RAM-cached fully-preprocessed sample (train fast path).
+
+        Caches the POST-decode, POST-color-convert form — RGB uint8 images
+        (4× smaller than fp32, 4× faster to flip), fp32 depth and uint8
+        binned masks — so the per-sample work left in ``__getitem__`` is
+        just the paired augmentation and the uint8→fp32 [0,1] convert.
+        Channel reorder and the /255 normalization commute exactly with the
+        flip/rot permutations, so batches are bit-identical to the uncached
+        path (tests/test_config_and_data.py). Closes the round-1
+        input-bound-training finding (loader 33.8 imgs/s vs 63 consumed;
+        BASELINE.md) — the decode + mask binning + bgr→rgb cost is paid
+        once per image instead of every epoch.
+        """
+        key = ("prep", index)
+        if key in self._cache:
+            return self._cache[key]
+        opt = self.opt
+        scale = opt["scale"]
+
+        def rgb_u8(img_f32_bgr):
+            # decoded f32 BGR [0,1] → RGB u8 iff exactly representable
+            # (u8 sources round-trip: (u/255)*255 == u in fp32)
+            rgb = util.bgr_to_rgb_f32(img_f32_bgr)
+            u8 = (rgb * 255.0).astype(np.uint8)
+            if np.array_equal(u8.astype(np.float32) / 255.0, rgb):
+                return u8
+            return rgb  # non-u8 source (16-bit PNG): keep fp32
+
+        img_GT = util.read_img(None, self.GT_paths[index]) \
+            if opt["data_type"] != "lmdb" else self._img(
+                opt.get("dataroot_GT"), self.GT_paths, self.GT_sizes, index)
+        if self.LR_paths:
+            img_LR = self._img(opt.get("dataroot_LQ"), self.LR_paths,
+                               self.LR_sizes, index)
+        else:
+            img_LR = imresize_np(img_GT, 1 / scale, True)
+            if img_LR.ndim == 2:
+                img_LR = np.expand_dims(img_LR, axis=2)
+
+        if (img_LR.ndim != 3 or img_LR.shape[2] != 3
+                or img_GT.ndim != 3 or img_GT.shape[2] != 3):
+            self._cache[key] = None  # channel_convert path: use slow route
+            return None
+        # np.load directly: the prep tuple supersedes the path-keyed cache
+        depth_map = np.load(self.Depth_paths[index])
+        depth_map = np.squeeze(depth_map, axis=1)[0]
+        mask_list = depth_masks_np(
+            depth_map, opt.get("depthFixedRange", True),
+            opt.get("depthMaskNum", 10))
+        got = (rgb_u8(img_LR), rgb_u8(img_GT),
+               np.ascontiguousarray(depth_map[..., None], np.float32),
+               mask_list.astype(np.uint8))
+        self._cache[key] = got
+        return got
+
     def __getitem__(self, index):
         opt = self.opt
         scale = opt["scale"]
+
+        prep = (self._prepared_train(index)
+                if (self._cache is not None and self._is_train()
+                    and opt.get("color") in (None, "RGB")) else None)
+        if prep is not None:
+            lr, gt, dep, masks = prep
+            lr, gt, dep, masks = util.augment(
+                [lr, gt, dep, masks],
+                opt.get("use_flip", False), opt.get("use_rot", False),
+                self.rng,
+            )
+            if opt.get("u8_pipeline"):
+                # device-normalize mode: ship uint8 over the host pipeline
+                # and H2D (4× fewer bytes); the jitted train step applies
+                # the identical ``astype(f32)/255`` (f_depthcond._u8_norm)
+                return {
+                    "LQ": np.ascontiguousarray(lr),
+                    "GT": np.ascontiguousarray(gt),
+                    "Depth": np.ascontiguousarray(dep, np.float32),
+                    "DepthMaskList": np.ascontiguousarray(masks),
+                    "LQ_path": (self.LR_paths or self.GT_paths)[index],
+                    "GT_path": self.GT_paths[index],
+                }
+            return {
+                "LQ": util.to_f32_01(lr),
+                "GT": util.to_f32_01(gt),
+                "Depth": np.ascontiguousarray(dep, np.float32),
+                "DepthMaskList": np.ascontiguousarray(masks, np.float32),
+                "LQ_path": (self.LR_paths or self.GT_paths)[index],
+                "GT_path": self.GT_paths[index],
+            }
 
         GT_path = self.GT_paths[index]
         img_GT = self._img(opt.get("dataroot_GT"), self.GT_paths, self.GT_sizes,

@@ -105,7 +105,7 @@ def augment(imgs: list[np.ndarray], hflip: bool = True, rot: bool = True,
         # cv2.transpose caps at 4 channels, so the K-channel mask stack and
         # anything exotic falls back to numpy views
         if not (img.ndim == 3 and img.shape[2] <= 4
-                and img.dtype == np.float32):
+                and img.dtype in (np.float32, np.uint8)):
             return _np_augment(img)
         import cv2
 
@@ -140,6 +140,15 @@ def bgr_to_rgb_f32(img: np.ndarray) -> np.ndarray:
             return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return np.ascontiguousarray(img[:, :, ::-1], dtype=np.float32)
     return np.ascontiguousarray(img, dtype=np.float32)
+
+
+def to_f32_01(img: np.ndarray) -> np.ndarray:
+    """uint8 → contiguous fp32 [0,1] via the same ``/255.0`` division
+    ``read_img`` uses (bit-exact with the decode-every-time path); fp32
+    inputs pass through contiguously."""
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return np.ascontiguousarray(img, np.float32)
 
 
 def get_one_hot(label: np.ndarray, num_classes: int) -> np.ndarray:

@@ -203,3 +203,43 @@ def test_resolve_resume_state_auto(tmp_path):
     # explicit paths pass through untouched
     opt["path"]["resume_state"] = str(state_dir / "500.state")
     assert resolve_resume_state(opt).endswith("500.state")
+
+
+def test_cache_data_fast_path_bit_identical(tmp_path):
+    """`cache_data: true` train samples must be BIT-identical to the
+    decode-every-time path: the fast path caches RGB uint8 + prebinned
+    masks and applies color reorder / the /255 normalization in an order
+    that commutes exactly with the paired augmentation."""
+    import cv2
+
+    from endosr.data import create_dataset
+
+    rng = np.random.default_rng(11)
+    for sub in ("HR", "LR", "depth"):
+        (tmp_path / sub).mkdir()
+    for i in range(3):
+        hr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        lr = cv2.resize(hr, (8, 8), interpolation=cv2.INTER_CUBIC)
+        cv2.imwrite(str(tmp_path / "HR" / f"im{i}.png"), hr)
+        cv2.imwrite(str(tmp_path / "LR" / f"im{i}.png"), lr)
+        np.save(tmp_path / "depth" / f"im{i}_disp.npy",
+                rng.random((1, 1, 8, 8)).astype(np.float32))
+    base = {
+        "name": "t", "mode": "LQGTker_Depth", "phase": "train",
+        "dataroot_GT": str(tmp_path / "HR"), "dataroot_LQ": str(tmp_path / "LR"),
+        "dataroot_depthMap": str(tmp_path / "depth"),
+        "scale": 4, "GT_size": 32, "LR_size": 8,
+        "use_flip": True, "use_rot": True, "color": "RGB",
+        "depthMaskNum": 10, "depthFixedRange": True, "data_type": "img",
+    }
+    slow = create_dataset(dict(base))
+    fast = create_dataset(dict(base, cache_data=True))
+    for epoch in range(2):  # epoch 2 hits the warm cache
+        for i in range(3):
+            slow.rng.seed(100 * epoch + i)
+            fast.rng.seed(100 * epoch + i)
+            a, b = slow[i], fast[i]
+            for k in ("LQ", "GT", "Depth", "DepthMaskList"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+                assert b[k].dtype == np.float32
+                assert b[k].flags["C_CONTIGUOUS"]

@@ -248,3 +248,57 @@ def test_flagship_bf16_precision_trains():
 
     leaf = model.state.params["netG"]["head_0"]["v"]
     assert leaf.dtype == jnp.float32
+
+
+def test_flagship_u8_pipeline_bit_identical_step():
+    """`u8_pipeline: true` ships uint8 batches (4× less host + H2D traffic);
+    the jitted step's device-side astype(f32)/255 must make the training
+    step bit-identical to the fp32 pipeline."""
+    import numpy as np
+
+    from endosr.config.options import dict_to_nonedict
+    from endosr.models.f_depthcond import FModelDepthCond
+
+    def build():
+        return dict_to_nonedict({
+            "is_train": True, "model": "sftmd_depthCond", "scale": 4,
+            "datasets": {"train": {"phase": "train", "depthMaskNum": 4,
+                                   "LR_size": 8, "GT_size": 32,
+                                   "batch_size": 2}},
+            "network_G": {"which_model_G": "DepthNet", "in_nc": 3,
+                          "out_nc": 3, "nf": 64, "nb": 6,
+                          "depth_latent_ch": 16,
+                          "use_trainable_params": True,
+                          "which_ResBlk_depth": [0, 1]},
+            "path": {},
+            "train": {"lr_G": 1e-3, "lr_scheme": "MultiStepLR",
+                      "beta1": 0.9, "beta2": 0.99, "niter": 10,
+                      "warmup_iter": -1, "lr_steps": [5], "lr_gamma": 0.5,
+                      "pixel_criterion": "l1", "pixel_weight": 1.0,
+                      "dynamic_loss": {"use_dynamic_criterion": True,
+                                       "dynamic_criterion": "smoothl1",
+                                       "dynamic_weight": 10.0},
+                      "manual_seed": 0},
+            "logger": {},
+        })
+
+    rng = np.random.default_rng(4)
+    lq8 = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    gt8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    dep = rng.random((2, 8, 8, 1)).astype(np.float32)
+    m8 = (rng.random((2, 8, 8, 4)) > 0.7).astype(np.uint8)
+
+    logs = []
+    for batch in (
+        {"LQ": lq8.astype(np.float32) / 255.0,
+         "GT": gt8.astype(np.float32) / 255.0,
+         "Depth": dep, "DepthMaskList": m8.astype(np.float32)},
+        {"LQ": lq8, "GT": gt8, "Depth": dep, "DepthMaskList": m8},
+    ):
+        model = FModelDepthCond(build())
+        for i in range(3):
+            model.feed_data(batch)
+            model.optimize_parameters(i)
+        logs.append(model.get_current_log())
+    assert logs[0]["l_all"] == logs[1]["l_all"]
+    assert logs[0]["l_dynamic"] == logs[1]["l_dynamic"]

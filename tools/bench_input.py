@@ -72,6 +72,8 @@ def main():
         for nw in args.workers:
             variants[f"png workers={nw}"] = (dict(base_opt), nw)
         variants["png + cache_data"] = (dict(base_opt, cache_data=True), 0)
+        variants["cache + u8_pipeline"] = (dict(base_opt, cache_data=True,
+                                                u8_pipeline=True), 0)
         if args.lmdb:
             sys.path.insert(0, os.path.join(
                 os.path.dirname(__file__), "..", "scripts"))
@@ -94,10 +96,12 @@ def main():
                 ratio=50, drop_last=True, num_workers=nw,
             )
             it = iter(loader)
-            # warm: worker spawn / page cache / RAM cache fill (full pass)
-            warm = 1 if "cache" not in tag else args.n // args.batch_size + 1
-            for _ in range(warm):
-                next(it)
+            if "cache" in tag:
+                # fill the RAM cache deterministically (shuffled warm batches
+                # would leave holes that bill decode time to the steady state)
+                for i in range(len(ds)):
+                    ds[i]
+            next(it)  # warm: worker spawn / page cache
             t0 = time.perf_counter()
             done = 0
             for _ in range(args.batches):
