@@ -53,6 +53,16 @@ def main():
         model = FModelDepthCond(dict_to_nonedict(o))
         dev_batch = shard_batch(dict(batch, mask_bin=np.int32(3)), model.mesh)
         state = model.state
+        # XLA's own FLOP count of the whole step program (fwd+bwd+Adam)
+        # for the MFU figure — same method as bench.py
+        flops = 0.0
+        try:
+            ca = model._train_step.lower(state, dev_batch).compile()                 .cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            pass
         state, logs = model._train_step(state, dev_batch)  # compile + warm
         assert np.isfinite(float(jax.device_get(logs["l_all"])))
 
@@ -71,10 +81,19 @@ def main():
             t1 = min(t1, t)
             t, state = chain(state, n2)
             t2 = min(t2, t)
-        return (t2 - t1) / (n2 - n1)
+        return (t2 - t1) / (n2 - n1), flops
 
-    dt32 = measure(None)       # reference recipe precision
-    dt16 = measure("bf16")     # bf16 compute, fp32 params + IN statistics
+    # bf16 peak TFLOP/s per chip (the MFU denominator, as in bench.py)
+    peaks = {"TPU v4": 275.0, "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+             "TPU v5p": 459.0, "TPU v6": 918.0}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peaks.items() if k in kind), None)
+
+    def mfu(flops, dt):
+        return round(flops / dt / 1e12 / peak, 4) if (peak and flops) else None
+
+    dt32, fl32 = measure(None)     # reference recipe precision
+    dt16, fl16 = measure("bf16")   # bf16 compute, fp32 params + IN statistics
 
     print(json.dumps({
         "metric": "samples/sec/chip, DepthNet x8 Kvasir training step "
@@ -84,6 +103,11 @@ def main():
         "ms_per_step_fp32": round(dt32 * 1e3, 1),
         "ms_per_step_bf16_compute": round(dt16 * 1e3, 1),
         "samples_per_sec_bf16_compute": round(b / dt16, 3),
+        "step_tflop_fp32": round(fl32 / 1e12, 3),
+        "step_tflop_bf16": round(fl16 / 1e12, 3),
+        "train_mfu_fp32": mfu(fl32, dt32),
+        "train_mfu_bf16": mfu(fl16, dt16),
+        "device_kind": kind,
     }))
 
 
