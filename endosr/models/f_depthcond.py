@@ -63,16 +63,18 @@ class FModelDepthCond(BaseModel):
         self.mesh = mesh or get_mesh()
         # precision: None/fp32 (reference-faithful), "bf16" (full bf16
         # compute, quality-certified at ×4/×8), "mixed" (fp32 trunk + bf16
-        # hoisted SEAN branches), or "bf16c" (mean-compensated bf16 stream
-        # convs + bf16 branches + fp32 residual stream — the fast certified
-        # path for ×2/×3 where full bf16 fails the quality budget; see
-        # tests/test_bf16_quality.py and layers.centered_conv)
+        # hoisted SEAN branches), "bf16c" (1-pass mean-compensated bf16
+        # stream convs + bf16 branches + fp32 residual stream), or "bf16c3"
+        # (3-pass centered convs — ≥50 dB certified at ×2/×3 where full
+        # bf16 fails the quality budget; see tests/test_bf16_quality.py and
+        # layers.centered_conv)
         precision = opt.get("precision")
         compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-        mod_dtype = jnp.bfloat16 if precision in ("mixed", "bf16c") else None
-        self.netG = networks.define_G(opt, dtype=compute_dtype,
-                                      modulation_dtype=mod_dtype,
-                                      centered_convs=precision == "bf16c")
+        mod_dtype = (jnp.bfloat16
+                     if precision in ("mixed", "bf16c", "bf16c3") else None)
+        self.netG = networks.define_G(
+            opt, dtype=compute_dtype, modulation_dtype=mod_dtype,
+            centered_convs={"bf16c": 1, "bf16c3": 3}.get(precision, 0))
 
         ds = (opt.get("datasets") or {}).get("train") or (opt.get("datasets") or {}).get(
             "test"

@@ -63,16 +63,16 @@ from endosr.nn.sean import (
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
 
-def _conv_dt(x, w, b, dtype, pad=None, centered=False):
+def _conv_dt(x, w, b, dtype, pad=None, centered=0):
     """SAME-ish conv in compute dtype from an fp32 kernel + bias.
 
-    ``centered=True`` (bf16c serving): mean-compensated low-precision conv
-    (``layers.centered_conv``) — bf16 MXU work whose rounding is relative to
-    the CENTERED signal, exact fp32 constant-offset compensation; output
-    fp32. Only valid for the default SAME padding.
+    ``centered=N`` (bf16c/bf16c3 serving): N-pass mean-compensated
+    low-precision conv (``layers.centered_conv``) — bf16 MXU work whose
+    rounding is relative to the CENTERED signal, exact fp32 constant-offset
+    compensation; output fp32. Only valid for the default SAME padding.
     """
     if centered and pad is None:
-        return centered_conv(x, w, b, dtype)
+        return centered_conv(x, w, b, dtype, passes=int(centered))
     pad = w.shape[0] // 2 if pad is None else pad
     return jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), (1, 1), [(pad, pad), (pad, pad)],
@@ -202,7 +202,7 @@ class DepthResidualBlock(nn.Module):
     # (layers.centered_conv) while the residual stream stays fp32 — the
     # certified fast path for regimes where plain bf16's input rounding is
     # amplified by InstanceNorm (×2/×3, tests/test_bf16_quality.py).
-    centered: bool = False
+    centered: int = 0  # 0 = off; N = centered_conv passes (bf16c/bf16c3)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -221,7 +221,7 @@ class DepthResidualBlock(nn.Module):
             **kw,
         )
         ckw = (dict(dtype=jnp.bfloat16, param_dtype=self.param_dtype,
-                    centered=True) if self.centered else kw)
+                    centered=int(self.centered)) if self.centered else kw)
         self.conv1_0 = Conv(self.nf, 3, 1, 1, **ckw)
         self.norm1 = SEAN(**sean_kw)
         self.conv2_0 = Conv(self.nf, 3, 1, 1, **ckw)
@@ -277,7 +277,7 @@ class ClassicResidualBlock(nn.Module):
     """
 
     nf: int = 64
-    centered: bool = False  # bf16c: mean-compensated bf16 convs, fp32 stream
+    centered: int = 0  # N = centered_conv passes; bf16 convs, fp32 stream
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -397,7 +397,7 @@ class DepthNet(nn.Module):
     # that breaks plain bf16 at ×2/×3 (tests/test_bf16_quality.py) at
     # near-bf16 MXU throughput. Select with ``precision: bf16c`` in the
     # YAML (pairs with modulation_dtype=bf16 for the SEAN branches).
-    centered_convs: bool = False
+    centered_convs: int = 0  # 0 = off; 1 = bf16c; 3 = bf16c3 (>=50 dB)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -484,14 +484,14 @@ class DepthNet(nn.Module):
                     ablate_depth_block=self.ablate_depth_block,
                     fused_epilogue=self.fused_epilogue,
                     chain_in=self.chain_in,
-                    centered=self.centered_convs,
+                    centered=int(self.centered_convs),
                     name=f"depth_residual{i + 1}", **kw,
                 )
             else:
                 tail_blk = i >= nb - 2 and self.scale < 4
                 blocks[i] = ClassicResidualBlock(
                     nf=block_ch(i),
-                    centered=self.centered_convs and not tail_blk,
+                    centered=0 if tail_blk else int(self.centered_convs),
                     name=f"classic_residual{i + 1}", **kw
                 )
 
@@ -663,7 +663,7 @@ class DepthNet(nn.Module):
         # tail runs past the last InstanceNorm, so its rounding reaches the
         # output unfiltered while costing few FLOPs (the x2 trunk is 6x the
         # tail) — fp32 there buys ~7 dB of the certification for ~no speed.
-        cc = bool(self.centered_convs) and self.scale >= 4
+        cc = int(self.centered_convs) if self.scale >= 4 else 0
         cc_dt = jnp.bfloat16 if cc else self.dtype
         final_scale = 3 if self.scale == 3 else 2
         # ×8 upscale1-defer: the 32-channel tensors between upscale1 and

@@ -86,7 +86,7 @@ class Conv(nn.Module):
     padding: int | tuple[int, int] = 1
     use_bias: bool = True
     groups: int = 1
-    centered: bool = False
+    centered: int = 0  # 0 = off; N = centered_conv passes (1 or 3)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -104,7 +104,8 @@ class Conv(nn.Module):
         if self.centered:
             assert self.groups == 1 and _pair(self.strides) == (1, 1)
             assert kh == kw and _pair(self.padding) == (kh // 2, kh // 2)
-            return centered_conv(x, w, b, self.dtype)
+            return centered_conv(x, w, b, self.dtype,
+                                 passes=int(self.centered))
         y = _conv(x, w, self.strides, self.padding, self.dtype, groups=self.groups)
         if b is not None:
             y = y + b.astype(self.dtype)
@@ -375,7 +376,7 @@ def valid_mask(shape_hw: tuple[int, int], hv, wv,
 
 
 def centered_conv(x: jax.Array, w: jax.Array, b: jax.Array | None,
-                  dtype: Dtype) -> jax.Array:
+                  dtype: Dtype, passes: int = 1) -> jax.Array:
     """Mean-compensated low-precision conv: bf16 MXU work at fp32-centered
     accuracy. Stride 1, odd k×k kernel, SAME (k//2) zero padding, NHWC.
 
@@ -395,6 +396,14 @@ def centered_conv(x: jax.Array, w: jax.Array, b: jax.Array | None,
     only a contiguous tap range is valid, giving (2p+1)² distinct cases
     materialized from two cumulative sums of the kernel.
 
+    ``passes`` raises the centered term's arithmetic accuracy by operand
+    splitting (each extra pass is one more bf16 MXU dot, fp32-accumulated):
+      1 — d_hi·w_hi                      (~2⁻⁹ per conv; ×2/×3 proxy 43.9 dB)
+      2 — + d_lo·w_hi  (activation split; 46.3 dB)
+      3 — + d_hi·w_lo  (both operands split, the bf16x3 / "HIGH" scheme
+          with exact mean compensation on top; 55.9/53.7 dB at ×2/×3 —
+          past the ≥50 dB certification bar, tests/test_bf16_quality.py)
+
     Returns fp32 (the callers feed InstanceNorm / residual streams that
     stay fp32 in this mode). Falls back to a plain fp32 conv when the
     spatial extent is too small for the border-case table (H or W < k).
@@ -409,12 +418,24 @@ def centered_conv(x: jax.Array, w: jax.Array, b: jax.Array | None,
 
     x32 = x.astype(jnp.float32)
     m = jnp.mean(x32, axis=(1, 2))  # [B, Cin]
-    d = (x32 - m[:, None, None, :]).astype(dtype)
-    y = jax.lax.conv_general_dilated(
-        d, w.astype(dtype), (1, 1), [(p, p), (p, p)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    d32 = x32 - m[:, None, None, :]
+
+    def bconv(a, ww):
+        return jax.lax.conv_general_dilated(
+            a, ww, (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    d_hi = d32.astype(dtype)
+    w_hi = w.astype(dtype)
+    y = bconv(d_hi, w_hi)
+    if passes >= 2:
+        d_lo = (d32 - d_hi.astype(jnp.float32)).astype(dtype)
+        y = y + bconv(d_lo, w_hi)
+    if passes >= 3:
+        w_lo = (w.astype(jnp.float32) - w_hi.astype(jnp.float32)).astype(dtype)
+        y = y + bconv(d_hi, w_lo)
 
     # exact fp32 conv of the constant image m·1: output row y uses tap rows
     # t with 0 ≤ y+t−p < H → a contiguous range; 2p+1 distinct row cases

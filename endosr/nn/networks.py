@@ -23,7 +23,7 @@ def _dataset_block(opt):
 
 
 def define_G(opt, dtype=jnp.float32, modulation_dtype=None,
-             centered_convs=False):
+             centered_convs=0):
     opt_net = opt["network_G"]
     which_model = opt_net["which_model_G"]
     scale = opt.get("scale") or opt_net.get("scale") or opt_net.get("upscale", 4)
@@ -50,7 +50,7 @@ def define_G(opt, dtype=jnp.float32, modulation_dtype=None,
             ablate_depth_block=bool(opt_net.get("ablate_depth_block", False)),
             remat_blocks=bool(opt_net.get("remat_blocks", False)),
             modulation_dtype=modulation_dtype,
-            centered_convs=centered_convs,
+            centered_convs=int(centered_convs),
             dtype=dtype,
         )
     if which_model == "SFTMD":

@@ -13,10 +13,12 @@ Timing: chained difference-quotient on the attached TPU, bf16 compute
 
 Quality note: the bf16 path is quality-certified at ×4/×8
 (tests/test_bf16_quality.py; bench.py re-certifies ×8 in-run at 62 dB
-mismatch-PSNR). At ×2/×3 the random-init proxy shows InstanceNorm
-amplifying bf16 rounding beyond the 0.05 dB budget — certify against
-trained weights before serving bf16 at those scales (the serving default
-is fp32; these rows are throughput upper bounds for the bf16 path).
+mismatch-PSNR). At ×2/×3 plain bf16 fails the proxy certification
+(InstanceNorm amplifies the input rounding), so those scales measure the
+certified serving ladder instead: fp32 (reference), "mixed" (fp32 trunk +
+bf16 branches, 55.7/54.4 dB), "bf16c" (1-pass centered convs, 43.9/42.0),
+and "bf16c3" (3-pass centered convs, 55.9/53.7 — ≥50 dB bar). One JSON
+line per (scale, mode); pick the fastest mode with cert ≥ 50 dB.
 """
 
 from __future__ import annotations
@@ -50,6 +52,19 @@ def main():
 
     from endosr.nn.depthnet import DepthNet
 
+    import jax.numpy as _jnp
+
+    MODES = {
+        # name -> DepthNet overrides; certifications in tests/test_bf16_quality.py
+        "bf16": dict(dtype=_jnp.bfloat16),
+        "fp32": dict(dtype=_jnp.float32),
+        "mixed": dict(dtype=_jnp.float32, modulation_dtype=_jnp.bfloat16),
+        "bf16c": dict(dtype=_jnp.float32, modulation_dtype=_jnp.bfloat16,
+                      centered_convs=1),
+        "bf16c3": dict(dtype=_jnp.float32, modulation_dtype=_jnp.bfloat16,
+                       centered_convs=3),
+    }
+
     for scale, lr, latent, b in CONFIGS:
         rng = np.random.default_rng(0)
         lq = jnp.asarray(rng.random((b, lr, lr, 3), dtype=np.float32))
@@ -60,34 +75,41 @@ def main():
             masks[..., k] = bins == k
         mk = jnp.asarray(masks)
 
-        net = DepthNet(which_resblk_depth=tuple(range(14)), scale=scale,
-                       depth_latent_ch=latent, depth_range_num=10,
-                       dtype=jnp.bfloat16)
-        params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+        # ×4/×8: plain bf16 is certified. ×2/×3: measure the whole ladder.
+        modes = ["bf16"] if scale >= 4 else ["fp32", "mixed", "bf16c",
+                                             "bf16c3", "bf16"]
+        params = None
+        for mode in modes:
+            net = DepthNet(which_resblk_depth=tuple(range(14)), scale=scale,
+                           depth_latent_ch=latent, depth_range_num=10,
+                           **MODES[mode])
+            if params is None:
+                params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
 
-        @jax.jit
-        def step(params, lq, acc, net=net, dep=dep, mk=mk):
-            out = net.apply({"params": params}, lq + acc * 0.0, dep, mk)
-            return acc + jnp.mean(out) * 1e-12
+            @jax.jit
+            def step(params, lq, acc, net=net, dep=dep, mk=mk):
+                out = net.apply({"params": params}, lq + acc * 0.0, dep, mk)
+                return acc + jnp.mean(out) * 1e-12
 
-        def run(n):
-            acc = jnp.float32(0.0)
-            t0 = time.perf_counter()
-            for _ in range(n):
-                acc = step(params, lq, acc)
-            v = jax.device_get(acc)
-            assert np.isfinite(v)
-            return time.perf_counter() - t0
+            def run(n):
+                acc = jnp.float32(0.0)
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    acc = step(params, lq, acc)
+                v = jax.device_get(acc)
+                assert np.isfinite(v)
+                return time.perf_counter() - t0
 
-        run(2)
-        t1 = min(run(4) for _ in range(3))
-        t2 = min(run(14) for _ in range(3))
-        per = (t2 - t1) / 10
-        print(json.dumps({
-            "scale": scale, "lr_size": lr, "latent": latent, "batch": b,
-            "ms_per_batch": round(per * 1e3, 2),
-            "fps_per_chip": round(b / per, 1),
-        }), flush=True)
+            run(2)
+            t1 = min(run(4) for _ in range(3))
+            t2 = min(run(14) for _ in range(3))
+            per = (t2 - t1) / 10
+            print(json.dumps({
+                "scale": scale, "lr_size": lr, "latent": latent, "batch": b,
+                "mode": mode,
+                "ms_per_batch": round(per * 1e3, 2),
+                "fps_per_chip": round(b / per, 1),
+            }), flush=True)
 
 
 if __name__ == "__main__":
