@@ -78,6 +78,17 @@ class _Base:
     def _is_train(self):
         return self.opt["phase"] == "train"
 
+    @staticmethod
+    def _rgb_u8(img_f32_bgr):
+        """Decoded f32 BGR [0,1] → RGB u8 iff exactly representable
+        (u8 sources round-trip: (u/255)*255 == u in fp32); 16-bit
+        sources keep fp32."""
+        rgb = util.bgr_to_rgb_f32(img_f32_bgr)
+        u8 = (rgb * 255.0).astype(np.uint8)
+        if np.array_equal(u8.astype(np.float32) / 255.0, rgb):
+            return u8
+        return rgb
+
 
 class LQGTKerDepthDataset(_Base):
     """Flagship: LR + GT pairs + depth map + K binary depth masks.
@@ -150,14 +161,7 @@ class LQGTKerDepthDataset(_Base):
         opt = self.opt
         scale = opt["scale"]
 
-        def rgb_u8(img_f32_bgr):
-            # decoded f32 BGR [0,1] → RGB u8 iff exactly representable
-            # (u8 sources round-trip: (u/255)*255 == u in fp32)
-            rgb = util.bgr_to_rgb_f32(img_f32_bgr)
-            u8 = (rgb * 255.0).astype(np.uint8)
-            if np.array_equal(u8.astype(np.float32) / 255.0, rgb):
-                return u8
-            return rgb  # non-u8 source (16-bit PNG): keep fp32
+        rgb_u8 = self._rgb_u8
 
         img_GT = util.read_img(None, self.GT_paths[index]) \
             if opt["data_type"] != "lmdb" else self._img(
@@ -308,9 +312,76 @@ class EndoSceneDepthDataset(_Base):
                 os.path.join(opt["dataroot_seglabel"], n) for n in names
             ]
 
+    def _prepared_train(self, index):
+        """RAM-cached preprocessed train sample (see LQGTKerDepthDataset):
+        RGB-u8 images, fp32 depth, u8 masks, u8 one-hot seg."""
+        key = ("prep", index)
+        if key in self._cache:
+            return self._cache[key]
+        opt = self.opt
+        scale = opt["scale"]
+        img_GT = util.read_img(None, self.GT_paths[index])
+        if self.LR_paths:
+            img_LR = util.read_img(None, self.LR_paths[index])
+        else:
+            img_LR = imresize_np(img_GT, 1 / scale, True)
+        if (img_LR.ndim != 3 or img_LR.shape[2] != 3
+                or img_GT.ndim != 3 or img_GT.shape[2] != 3):
+            self._cache[key] = None
+            return None
+        depth_map = np.load(self.Depth_paths[index])
+        depth_map = np.squeeze(depth_map, axis=1)[0]
+        mask_list = depth_masks_np(
+            depth_map, opt.get("depthFixedRange", True),
+            opt.get("depthMaskNum", 10))
+        seg = None
+        if self.Seg_paths is not None:
+            import cv2
+
+            seg_raw = cv2.imread(self.Seg_paths[index], cv2.IMREAD_GRAYSCALE)
+            seg = util.get_one_hot((seg_raw > 127).astype(np.int64),
+                                   2).astype(np.uint8)
+        got = (self._rgb_u8(img_LR), self._rgb_u8(img_GT),
+               np.ascontiguousarray(depth_map[..., None], np.float32),
+               mask_list.astype(np.uint8), seg)
+        self._cache[key] = got
+        return got
+
     def __getitem__(self, index):
         opt = self.opt
         scale = opt["scale"]
+
+        prep = (self._prepared_train(index)
+                if self._cache is not None and self._is_train() else None)
+        if prep is not None:
+            lr, gt, dep, masks, seg = prep
+            arrays = [lr, gt, dep, masks] + ([seg] if seg is not None else [])
+            arrays = util.augment(arrays, opt.get("use_flip", False),
+                                  opt.get("use_rot", False), self.rng)
+            u8 = bool(opt.get("u8_pipeline"))
+
+            def im(x):
+                return np.ascontiguousarray(x) if u8 else util.to_f32_01(x)
+
+            out = {
+                "LQ": im(arrays[0]),
+                "GT": im(arrays[1]),
+                "Depth": np.ascontiguousarray(arrays[2], np.float32),
+                "DepthMaskList": np.ascontiguousarray(
+                    arrays[3]) if u8 else np.ascontiguousarray(
+                        arrays[3], np.float32),
+                "LQ_path": (self.LR_paths[index] if self.LR_paths
+                            else self.GT_paths[index]),
+                "GT_path": self.GT_paths[index],
+            }
+            if seg is not None:
+                sa = np.ascontiguousarray(arrays[4], np.float32)
+                out["SegLabel"] = sa
+                out["Seg_onehot"] = sa
+                out["Seg"] = np.ascontiguousarray(
+                    np.argmax(sa, axis=-1), np.int64)
+            return out
+
         img_GT = self._read_img(self.GT_paths[index])
         if not self._is_train():
             img_GT = modcrop(img_GT, scale)

@@ -363,7 +363,11 @@ class FModelDepthCond(BaseModel):
 
         The reference forgets to transform/pass the depth inputs (it calls
         ``netG(aug)`` — a latent crash for DepthNet); here the depth map and
-        masks are transformed alongside the image.
+        masks are transformed alongside the image. Each transform runs
+        through ``test()`` — with the default exact bucketing, all 8 views
+        (and every image in the set) share at most two compiled programs
+        (one per transpose orientation, and only one when the bucketed
+        H and W coincide).
         """
 
         def tf(x, op):
@@ -380,15 +384,15 @@ class FModelDepthCond(BaseModel):
                 [(tf(l, op), tf(d, op), tf(m, op)) for (l, d, m) in triples]
             )
         outs = []
+        saved = self.batch
         for i, (l, d, m) in enumerate(triples):
-            sr = np.asarray(
-                self._apply_jit(
-                    self.state.params["netG"],
-                    np.ascontiguousarray(l),
-                    np.ascontiguousarray(d),
-                    np.ascontiguousarray(m),
-                )
-            )
+            self.batch = {
+                "LQ": np.ascontiguousarray(l),
+                "Depth": np.ascontiguousarray(d),
+                "DepthMaskList": np.ascontiguousarray(m),
+            }
+            self.test()
+            sr = self.fake_SR
             if i > 3:
                 sr = tf(sr, "t")
             if i % 4 > 1:
@@ -396,6 +400,7 @@ class FModelDepthCond(BaseModel):
             if (i % 4) % 2 == 1:
                 sr = tf(sr, "v")
             outs.append(sr)
+        self.batch = saved
         self.fake_H = np.mean(np.stack(outs), axis=0)
         self.fake_SR = self.fake_H
 

@@ -243,3 +243,41 @@ def test_cache_data_fast_path_bit_identical(tmp_path):
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
                 assert b[k].dtype == np.float32
                 assert b[k].flags["C_CONTIGUOUS"]
+
+
+def test_endoscene_cache_fast_path_bit_identical(tmp_path):
+    """The EndoScene train fast path (RGB-u8 + prebinned masks + u8 one-hot
+    seg) must be bit-identical to the decode-every-time path."""
+    import cv2
+
+    from endosr.data import create_dataset
+
+    rng = np.random.default_rng(12)
+    for sub in ("HR", "LR/x2", "depth", "seg"):
+        (tmp_path / sub).mkdir(parents=True)
+    for i in range(2):
+        hr = (rng.random((24, 28, 3)) * 255).astype(np.uint8)
+        lr = cv2.resize(hr, (14, 12), interpolation=cv2.INTER_CUBIC)
+        cv2.imwrite(str(tmp_path / "HR" / f"im{i}.png"), hr)
+        cv2.imwrite(str(tmp_path / "LR/x2" / f"im{i}.png"), lr)
+        np.save(tmp_path / "depth" / f"im{i}_disp.npy",
+                rng.random((1, 1, 12, 14)).astype(np.float32))
+        cv2.imwrite(str(tmp_path / "seg" / f"im{i}.png"),
+                    (rng.random((24, 28)) > 0.5).astype(np.uint8) * 255)
+    base = {
+        "name": "t", "mode": "EndoScene_Depth", "phase": "train",
+        "dataroot_GT": str(tmp_path / "HR"), "dataroot_LQ": str(tmp_path / "LR"),
+        "dataroot_depthMap": str(tmp_path / "depth"),
+        "dataroot_seglabel": str(tmp_path / "seg"),
+        "scale": 2, "use_flip": True, "use_rot": True,
+        "depthMaskNum": 10, "depthFixedRange": True, "data_type": "img",
+    }
+    slow = create_dataset(dict(base))
+    fast = create_dataset(dict(base, cache_data=True))
+    for epoch in range(2):
+        for i in range(2):
+            slow.rng.seed(31 * epoch + i)
+            fast.rng.seed(31 * epoch + i)
+            a, b = slow[i], fast[i]
+            for k in ("LQ", "GT", "Depth", "DepthMaskList", "SegLabel", "Seg"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)

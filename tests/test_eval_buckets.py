@@ -104,3 +104,19 @@ def test_masked_forward_exact_all_scales():
         np.testing.assert_allclose(out[:, :h * scale, :w * scale], ref,
                                    rtol=0, atol=2e-5,
                                    err_msg=f"x{scale} ({h},{w})")
+
+
+def test_x8_ensemble_bucketed_matches_exact():
+    """test_x8 routes every transformed view through the exact bucketed
+    path — the ensemble must match the per-shape-compile ensemble."""
+    b = _batch(13, 10)
+    model = FModelDepthCond(_opt(bucket=0))
+    model.feed_data(b)
+    model.test_x8()
+    exact = model.fake_H.copy()
+
+    bucketed = FModelDepthCond(_opt(bucket=16))
+    bucketed.state = model.state
+    bucketed.feed_data(b)
+    bucketed.test_x8()
+    np.testing.assert_allclose(bucketed.fake_H, exact, rtol=0, atol=2e-5)
