@@ -63,6 +63,15 @@ def main():
                       centered_convs=1),
         "bf16c3": dict(dtype=_jnp.float32, modulation_dtype=_jnp.bfloat16,
                        centered_convs=3),
+        # per-block branch evaluation (no hoist): at the x2 recipe's LR 512²
+        # the hoisted shared-prefix activation is [B,512,512,26·2C] — GB
+        # scale — so fusing each block's branches into its consumer may win
+        "bf16c3_nohoist": dict(dtype=_jnp.float32,
+                               modulation_dtype=_jnp.bfloat16,
+                               centered_convs=3, remat_blocks=True),
+        "mixed_nohoist": dict(dtype=_jnp.float32,
+                              modulation_dtype=_jnp.bfloat16,
+                              remat_blocks=True),
     }
 
     for scale, lr, latent, b in CONFIGS:
@@ -77,7 +86,9 @@ def main():
 
         # ×4/×8: plain bf16 is certified. ×2/×3: measure the whole ladder.
         modes = ["bf16"] if scale >= 4 else ["fp32", "mixed", "bf16c",
-                                             "bf16c3", "bf16"]
+                                             "bf16c3", "bf16",
+                                             "bf16c3_nohoist",
+                                             "mixed_nohoist"]
         params = None
         for mode in modes:
             net = DepthNet(which_resblk_depth=tuple(range(14)), scale=scale,
