@@ -370,6 +370,13 @@ class DepthNet(nn.Module):
     # 7.7 ms and whose conv-layout relayout copy 2.6 ms at the flagship
     # shape) never materialize. Bit-identical math and parameters.
     lazy_branches: bool = True
+    # Chunk the lazy o-branch shared prefix: with 0 the one wide
+    # 1→N·2C conv+ReLU activation ([B,H,W,26·2C] — 872 MB at the ×8
+    # flagship batch, GBs at the ×2 recipe's LR 512²) is produced up
+    # front; with G>0 it is produced per group of G blocks, tied to the
+    # running trunk feature, so only one group's slab is live at a time.
+    # Exact math, same params (tests/test_bf16_quality.py).
+    lazy_o_chunk: int = 0
     # Blocks per style-matmul group in lazy mode: each group's SEAN style
     # modulations are one batched [B,HW,9K]×[B,9K,G·4C] dot (scheduled at
     # the group's first block via an optimization_barrier tie), so the
@@ -581,17 +588,25 @@ class DepthNet(nn.Module):
         lazy_o: dict[int, tuple] = {}
         lazy_s: dict[int, tuple] = {}
         style_groups: dict[int, list[int]] = {}
+        o_groups: dict[int, list[int]] = {}
         if lazy:
             o_weights, s_weights = [], []
             for i in trunk_depth:
                 o_weights.extend(blocks[i].depth_branch_weights())
                 if want_style:
                     s_weights.extend(blocks[i].style_branch_weights())
-            actv_chunks = precompute_o_actv(o_weights, dmap, mod_dt,
-                                            vmask=vm)
-            for idx, i in enumerate(trunk_depth):
-                lazy_o[i] = (actv_chunks[2 * idx], o_weights[2 * idx],
-                             actv_chunks[2 * idx + 1], o_weights[2 * idx + 1])
+            if int(self.lazy_o_chunk) > 0:
+                go = int(self.lazy_o_chunk)
+                o_groups = {grp[0]: grp for grp in (
+                    trunk_depth[j:j + go]
+                    for j in range(0, len(trunk_depth), go))}
+            else:
+                actv_chunks = precompute_o_actv(o_weights, dmap, mod_dt,
+                                                vmask=vm)
+                for idx, i in enumerate(trunk_depth):
+                    lazy_o[i] = (actv_chunks[2 * idx], o_weights[2 * idx],
+                                 actv_chunks[2 * idx + 1],
+                                 o_weights[2 * idx + 1])
             if want_style:
                 shifted = shifted_mask_stack(dmask, mod_dt)
                 v_chunks = precompute_style_v(s_weights, depth_vec, mod_dt)
@@ -602,6 +617,24 @@ class DepthNet(nn.Module):
                 style_groups = {grp[0]: grp for grp in (
                     trunk_depth[j:j + g]
                     for j in range(0, len(trunk_depth), g))}
+
+        def o_group_prefix(ids, tie):
+            """Produce the lazy o-branch prefix for blocks ``ids`` only.
+
+            Splitting the wide 1→N·2C conv by output channels is exact;
+            ``tie`` (running trunk feature) pins the group's slab next to
+            its consumers via an optimization_barrier.
+            """
+            dmap_g = dmap
+            if tie is not None:
+                dmap_g, _ = jax.lax.optimization_barrier((dmap_g, tie))
+            weights = []
+            for i in ids:
+                weights.extend(blocks[i].depth_branch_weights())
+            chunks = precompute_o_actv(weights, dmap_g, mod_dt, vmask=vm)
+            for idx, i in enumerate(ids):
+                lazy_o[i] = (chunks[2 * idx], weights[2 * idx],
+                             chunks[2 * idx + 1], weights[2 * idx + 1])
 
         def style_group_dots(ids, tie):
             """Evaluate the style matmuls for blocks ``ids`` in one dot.
@@ -646,6 +679,9 @@ class DepthNet(nn.Module):
 
         # trunk: blocks 0 .. nb-4 (the hottest loop)
         for i in range(nb - 3):
+            if i in o_groups:
+                o_group_prefix(o_groups[i],
+                               fea_in if i != trunk_depth[0] else None)
             if i in group_start:
                 # tie chunked groups to the running feature; the first
                 # (or only) group has no predecessor to wait for

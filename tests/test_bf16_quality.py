@@ -257,3 +257,30 @@ def test_bf16c_centered_mode_quality(scale, latent, passes, bound_db):
     psnr = float("inf") if mse == 0 else 10 * np.log10(1.0 / mse)
     assert psnr >= bound_db, (
         f"x{scale}: bf16c mismatch-PSNR {psnr:.2f} dB below {bound_db} dB")
+
+
+@pytest.mark.parametrize("chunk", [1, 3, 4, 13])
+def test_lazy_o_chunk_is_exact(chunk):
+    """Chunked lazy o-prefix (HBM-locality mode) must be bit-identical to
+    the single-shot prefix: splitting the wide conv by output channels is
+    exact and the barrier only changes XLA's schedule."""
+    lr = 16
+    rng = np.random.default_rng(13)
+    lq = jnp.asarray(rng.random((2, lr, lr, 3)).astype(np.float32))
+    dep = jnp.asarray(rng.random((2, lr, lr, 1)).astype(np.float32))
+    mk = jnp.asarray((rng.random((2, lr, lr, 10)) > 0.8).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=4,
+              depth_latent_ch=16, depth_range_num=10)
+    net_a = DepthNet(lazy_o_chunk=0, **kw)
+    net_b = DepthNet(lazy_o_chunk=chunk, **kw)
+    params = net_a.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    pb = net_b.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(pb))
+    oa = np.asarray(jax.jit(net_a.apply)({"params": params}, lq, dep, mk))
+    ob = np.asarray(jax.jit(net_b.apply)({"params": params}, lq, dep, mk))
+    np.testing.assert_array_equal(oa, ob)
+    g = jax.grad(lambda p: jnp.sum(
+        net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))

@@ -32,6 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16,32")
     ap.add_argument("--style-chunks", default="2,4,7,13")
+    ap.add_argument("--lazy-o-chunks", default="0,2,4")
     ap.add_argument("--hoist-chunks", default="0,2,4")
     ap.add_argument("--lr", type=int, default=128)
     ap.add_argument("--scale", type=int, default=8)
@@ -49,7 +50,9 @@ def main():
     rng = np.random.default_rng(0)
     configs = []
     for sc in [int(c) for c in args.style_chunks.split(",") if c]:
-        configs.append(dict(lazy_branches=True, style_chunk=sc))
+        for oc in [int(c) for c in args.lazy_o_chunks.split(",") if c != ""]:
+            configs.append(dict(lazy_branches=True, style_chunk=sc,
+                                lazy_o_chunk=oc))
     for hc in [int(c) for c in args.hoist_chunks.split(",") if c != ""]:
         configs.append(dict(lazy_branches=False, hoist_chunk=hc))
 
