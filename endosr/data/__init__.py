@@ -176,6 +176,18 @@ class ShardedLoader:
         """
         import multiprocessing as mp
 
+        # warm the dataset's RAM cache ONCE in the parent before forking:
+        # workers are re-forked every epoch, so a cold parent cache would be
+        # rebuilt per worker per epoch (decode-every-epoch, duplicated RAM);
+        # a warm parent cache is inherited copy-on-write at zero extra cost
+        ds = self.dataset
+        if (getattr(ds, "_cache", None) is not None
+                and not getattr(ds, "_cache_warmed", False)):
+            prep = getattr(ds, "_prepared_train", None)
+            for i in range(len(ds)):
+                prep(i) if prep is not None else ds[i]
+            ds._cache_warmed = True
+
         ctx = mp.get_context("fork")
         nw = min(self.num_workers, len(batches)) or 1
         task_q = ctx.Queue()

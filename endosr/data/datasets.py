@@ -167,8 +167,11 @@ class LQGTKerDepthDataset(_Base):
             if opt["data_type"] != "lmdb" else self._img(
                 opt.get("dataroot_GT"), self.GT_paths, self.GT_sizes, index)
         if self.LR_paths:
-            img_LR = self._img(opt.get("dataroot_LQ"), self.LR_paths,
-                               self.LR_sizes, index)
+            # plain read (no path-keyed cache): the prep tuple supersedes it
+            img_LR = (util.read_img(None, self.LR_paths[index])
+                      if opt["data_type"] != "lmdb" else self._img(
+                          opt.get("dataroot_LQ"), self.LR_paths,
+                          self.LR_sizes, index))
         else:
             img_LR = imresize_np(img_GT, 1 / scale, True)
             if img_LR.ndim == 2:

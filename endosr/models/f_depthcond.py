@@ -330,6 +330,15 @@ class FModelDepthCond(BaseModel):
         # (32); set ``eval_bucket_multiple: 0`` to force per-shape compiles.
         bucket = self.opt.get("eval_bucket_multiple")
         bucket = 32 if bucket is None else int(bucket)
+        # the masked program supports the standard DepthNet paths only:
+        # ablations / Pallas fused epilogue are rejected by DepthNet, and
+        # the centered bf16c modes' mean compensation is certified on the
+        # unpadded geometry — those fall back to per-shape compiles
+        if bucket and (getattr(self.netG, "ablate_depth_matrix", False)
+                       or getattr(self.netG, "ablate_depth_block", False)
+                       or getattr(self.netG, "fused_epilogue", False)
+                       or getattr(self.netG, "centered_convs", 0)):
+            bucket = 0
         h, w = lq.shape[1], lq.shape[2]
         if bucket:
             bucket = -(-bucket // 4) * 4  # masked path needs H,W % 4 == 0

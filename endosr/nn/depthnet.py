@@ -142,7 +142,7 @@ class Encoder(nn.Module):
             m4 = valid_mask((H // 2 - 1, W // 2 - 1), v4h, v4w)
 
         def _m(t, m):
-            return t if m is None else t * m
+            return t if m is None else t * m.astype(t.dtype)
 
         out = WNConv(32, 3, 1, 1, name="layer1", **kw)(x)
         feat_downscaled = out
@@ -451,7 +451,8 @@ class DepthNet(nn.Module):
 
         def _m(t):
             m = _vm_for(t)
-            return t if m is None else t * m
+            # cast the mask: bf16 * f32 would silently promote the stream
+            return t if m is None else t * m.astype(t.dtype)
 
         # encoder
         if self.ablate_depth_matrix:

@@ -509,7 +509,7 @@ class SEAN(nn.Module):
         def epilogue(gamma, beta):
             if pre_normalized:
                 y = x * (1 + gamma) + beta
-                return y if vmask is None else y * vmask
+                return y if vmask is None else y * vmask.astype(y.dtype)
             if self.fused_epilogue and vmask is None:
                 from endosr.kernels.fused_in_mod import (
                     fused_instance_norm_modulate,
@@ -521,8 +521,8 @@ class SEAN(nn.Module):
             if vmask is not None:
                 from endosr.nn.layers import masked_instance_norm
 
-                return (masked_instance_norm(x, vmask) * (1 + gamma)
-                        + beta) * vmask
+                y = masked_instance_norm(x, vmask) * (1 + gamma) + beta
+                return y * vmask.astype(y.dtype)
             return instance_norm(x) * (1 + gamma) + beta
 
         if mod is not None:

@@ -35,7 +35,7 @@ def build_model(args):
         "model": "sftmd_depthCond",
         "scale": args.scale,
         "precision": args.precision,
-        "eval_bucket_multiple": args.bucket or None,
+        "eval_bucket_multiple": args.bucket,  # 0 = per-shape compiles
         "datasets": {"test": {"phase": "test", "depthMaskNum": args.mask_num,
                               "LR_size": 32}},
         "network_G": {

@@ -281,3 +281,36 @@ def test_endoscene_cache_fast_path_bit_identical(tmp_path):
             a, b = slow[i], fast[i]
             for k in ("LQ", "GT", "Depth", "DepthMaskList", "SegLabel", "Seg"):
                 np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_worker_loader_warms_parent_cache(tmp_path):
+    """Fork workers are respawned every epoch, so the RAM cache must be
+    warmed in the PARENT (inherited copy-on-write) — a cold parent would
+    decode every image again each epoch in every worker."""
+    import cv2
+
+    from endosr.data import ShardedLoader, create_dataset
+
+    rng = np.random.default_rng(13)
+    for sub in ("HR", "LR", "depth"):
+        (tmp_path / sub).mkdir()
+    for i in range(4):
+        hr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "HR" / f"im{i}.png"), hr)
+        cv2.imwrite(str(tmp_path / "LR" / f"im{i}.png"),
+                    cv2.resize(hr, (4, 4)))
+        np.save(tmp_path / "depth" / f"im{i}_disp.npy",
+                rng.random((1, 1, 4, 4)).astype(np.float32))
+    ds = create_dataset({
+        "name": "t", "mode": "LQGTker_Depth", "phase": "train",
+        "dataroot_GT": str(tmp_path / "HR"), "dataroot_LQ": str(tmp_path / "LR"),
+        "dataroot_depthMap": str(tmp_path / "depth"),
+        "scale": 4, "GT_size": 16, "LR_size": 4, "depthMaskNum": 4,
+        "data_type": "img", "cache_data": True,
+    })
+    loader = ShardedLoader(ds, batch_size=2, shuffle=True, seed=0, ratio=2,
+                           drop_last=True, num_workers=2)
+    it = iter(loader)
+    next(it)
+    assert getattr(ds, "_cache_warmed", False)
+    assert all(("prep", i) in ds._cache for i in range(4))

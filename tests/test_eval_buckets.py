@@ -120,3 +120,24 @@ def test_x8_ensemble_bucketed_matches_exact():
     bucketed.feed_data(b)
     bucketed.test_x8()
     np.testing.assert_allclose(bucketed.fake_H, exact, rtol=0, atol=2e-5)
+
+
+def test_unsupported_configs_fall_back_to_per_shape():
+    """Default-on bucketing must not break configs the masked program
+    rejects (ablations, bf16c centered modes) — test() falls back to the
+    per-shape path instead of raising."""
+    o = _opt(bucket=None)  # default-on (32)
+    o["network_G"]["ablate_depth_matrix"] = True
+    o["datasets"]["test"]["LR_size"] = 13  # ablation encoder needs odd h/w
+    m = FModelDepthCond(o)
+    m.feed_data(_batch(13, 13))
+    m.test()
+    assert m.fake_SR.shape == (1, 52, 52, 3)
+    assert not hasattr(m, "_apply_bucket_jit") or m._apply_bucket_jit is None
+
+    o2 = _opt(bucket=None)
+    o2["precision"] = "bf16c3"
+    m2 = FModelDepthCond(o2)
+    m2.feed_data(_batch(12, 12))
+    m2.test()
+    assert m2.fake_SR.shape == (1, 48, 48, 3)
