@@ -92,16 +92,22 @@ def main():
         ca = ca[0]
     device_flops = float(ca.get("flops", 0.0))
 
+    # The SR image is a root of the jitted step, so it MATERIALIZES in HBM
+    # every iteration (honest serving cost — and it keeps XLA from fusing
+    # the folded 9×9 head conv into a scalar-reduce epilogue, which runs
+    # the conv off the MXU: measured 3.2 ms vs 0.9 ms for conv+write).
+    # The chain scalar reads a strided sample of the output so each call
+    # still depends on the previous call's full forward.
     @jax.jit
     def step(params, lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
-        return acc + jnp.mean(out) * 1e-12
+        return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
 
     def run(n):
         acc = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(n):
-            acc = step(params, lq, depth, masks, acc)
+            _, acc = step(params, lq, depth, masks, acc)
         v = jax.device_get(acc)
         assert np.isfinite(v)
         return time.perf_counter() - t0

@@ -390,12 +390,14 @@ class DepthNet(nn.Module):
     # the in-kernel shifted-tap slices cost a relayout per dot), so off by
     # default; kept tested + gradient-capable for other shapes/hardware.
     pallas_obranch: bool = False
-    # Pallas fused clip→shuffle→fp32 output stage. Scale-split measured on
-    # v5e (bit-identical outputs either way): at ×4/×8 XLA emits the final
-    # shuffle+convert at full bandwidth and the kernel's narrow-lane output
-    # rows pad 10× (×8: 33.5 vs 37.1 ms end-to-end — kernel LOSES), while
-    # at ×2/×3 the kernel still wins (×2: 326 vs 366 ms, ×3: 28.0 vs
-    # 29.7 ms). "auto" = on for scale < 4, off otherwise; booleans force.
+    # Pallas fused clip→shuffle→fp32 output stage. With the SR frame
+    # actually MATERIALIZED (honest serving; a reduce consumer lets XLA
+    # elide the layout work entirely, which round-1 A/Bs under-counted),
+    # the kernel wins at every scale on v5e: ×8 bs8 full forward 35.6 ms
+    # (v2 dense-row kernel) vs 39.3 ms XLA. The v2 kernel writes dense
+    # [B,H·r,W·r·C] rows via a one-hot scatter matmul, avoiding v1's
+    # 10×-lane-padded 4D intermediate (see endosr/kernels/output_stage.py).
+    # "auto" = on everywhere; booleans force.
     pallas_output: Any = "auto"
     # bf16c serving mode: every stream conv (trunk blocks, classic blocks,
     # folded tail and head) runs as a mean-compensated bf16 conv
@@ -887,7 +889,7 @@ class DepthNet(nn.Module):
         # (0/1 exact in bf16); see the pallas_output flag for the measured
         # per-scale split between the fused kernel and the XLA lowering
         use_pallas = (self.pallas_output if isinstance(self.pallas_output, bool)
-                      else self.scale < 4)
+                      else True)
         if use_pallas:
             from endosr.kernels.output_stage import output_stage
 
