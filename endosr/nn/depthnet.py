@@ -25,6 +25,8 @@ import functools
 import math
 from typing import Any
 
+import numpy as np
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -407,6 +409,10 @@ class DepthNet(nn.Module):
     # near-bf16 MXU throughput. Select with ``precision: bf16c`` in the
     # YAML (pairs with modulation_dtype=bf16 for the SEAN branches).
     centered_convs: int = 0  # 0 = off; 1 = bf16c; 3 = bf16c3 (>=50 dB)
+    # Phase-packed ×8 tail (see _packed_tail): 2.25× fewer tail MACs than
+    # the dense r=2 folds, exact math. Serving fast path only (off under
+    # centered convs and exact bucketed eval).
+    packed_tail: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -747,6 +753,13 @@ class DepthNet(nn.Module):
             p23 = self.param(
                 "upscale2_3", WNConvParams(32 * 9, (3, 3, 32, 32), self.param_dtype)
             )
+            if self.packed_tail and not cc and vm is None:
+                # packed tail: upscale2_3, block16 and upscale3_0 run as
+                # [2,2,4C,4C'] convs on the phase-packed 257² grid — 4/9 of
+                # the dense r=2 fold's MACs, no further shuffles, and the
+                # folded 9×9 head re-merges into ONE dense conv (see
+                # layers.packed_stage_kernel).
+                return self._packed_tail(z, p23, blocks[nb - 1], final_scale)
             w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
             z = leaky_relu(_conv_dt(_m(z), w23, b23, cc_dt, centered=cc))
             # classic block 16 (blocks[nb-1]) with both convs folded by r
@@ -839,6 +852,190 @@ class DepthNet(nn.Module):
             out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(_m(feat_up3))
         return jnp.clip(out.astype(jnp.float32), self.clamp_min, self.clamp_max)
 
+    def _packed_tail(self, z, p23, block16, final_scale):
+        """×8 fold1 tail on the phase-packed PS(2)-pending grid.
+
+        ``z``: the mid-tail-shuffled [B,N,N,4·32] tensor (torch PS channel
+        order) whose fine grid is 2N². upscale2_3, block16's two convs and
+        upscale3_0 — natively 3×3 convs on the fine grid, previously run as
+        dense r=2 folds carrying a 4× MAC tax — lower to [2,2,4C,4C'] convs
+        on a packed (N+1)² tensor via :func:`layers.packed_stage_kernel`
+        (2.25× fewer MACs than the dense fold, full-lane shapes, zero
+        shuffles). Packing shift alternates 1→0→1→0 per stage so windows
+        stay uniform; border gates re-zero the out-of-fine-range slots each
+        stage (exact: tests/test_depthnet_parity.py). The head's folded
+        9×9 conv then runs as ONE dense [3,3,512,48] conv on the unshifted
+        final packed tensor. Reference ops: ``sftmd_arch.py:898-908,941-950``.
+        """
+        from endosr.nn.layers import packed_gate, packed_stage_kernel
+
+        dt = self.dtype
+        n = z.shape[1]
+        fs = final_scale
+        rt = 2 * fs
+
+        def gate(G, s, c):
+            row, col = packed_gate(n, c, s, G.dtype)
+            return G * row[None, :, None, :] * col[None, None, :, :]
+
+        def pconv(x, k, pad, bias):
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.tile(bias, 4).astype(dt)
+
+        w23, b23 = wn_effective_kernel(p23)
+        (wc0, bc0), (wc2, bc2) = block16.effective_weights()
+
+        g1 = gate(leaky_relu(pconv(
+            z, packed_stage_kernel(w23, 0, 1, in_interleaved=True),
+            [(1, 1), (1, 1)], b23)), 1, 32)
+        g2 = gate(nn.relu(pconv(
+            g1, packed_stage_kernel(wc0, 1, 0), [(0, 1), (0, 1)], bc0)),
+            0, 32)
+        g3 = gate(nn.relu(g1 + pconv(
+            g2, packed_stage_kernel(wc2, 0, 1), [(1, 0), (1, 0)], bc2)),
+            1, 32)
+
+        p30 = self.param(
+            "upscale3_0",
+            WNConvParams(32 * 9, (3, 3, 32, 32 * fs * fs), self.param_dtype),
+        )
+        w30, b30 = wn_effective_kernel(p30)
+        g4 = gate(leaky_relu(pconv(
+            g3, packed_stage_kernel(w30, 1, 0), [(0, 1), (0, 1)], b30)),
+            0, 32 * fs * fs)
+
+        # head: fold by rt, then permute its input channels from canonical
+        # PS(rt) order (c·rt² + (2α+g)·rt + 2β+h) to g4's group-major
+        # packed order ((α·2+β)·32fs² + c·fs² + g·fs + h)
+        head = self.param("conv_output", self._init_head)
+        wh, bh = _fold_wb(
+            head["kernel"].astype(jnp.float32),
+            head["bias"].astype(jnp.float32), rt,
+        )
+        c32 = np.arange(32)
+        gg = np.arange(fs)
+        perm = np.concatenate([
+            (c32[:, None, None] * rt * rt
+             + (a * fs + gg[:, None]) * rt
+             + (b * fs + gg[None, :])).ravel()
+            for a in (0, 1) for b in (0, 1)
+        ])
+        pre = jax.lax.conv_general_dilated(
+            g4, wh[:, :, perm, :].astype(dt), (1, 1),
+            [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bh.astype(dt)
+        use_pallas = (self.pallas_output
+                      if isinstance(self.pallas_output, bool) else True)
+        if use_pallas:
+            from endosr.kernels.output_stage import output_stage
+
+            flat = output_stage(pre, rt, self.clamp_min, self.clamp_max)
+            b_, hr = flat.shape[0], flat.shape[1]
+            return flat.reshape(b_, hr, -1, self.out_nc)
+        out = pixel_shuffle(
+            jnp.clip(pre, self.clamp_min, self.clamp_max), rt
+        )
+        return out.astype(jnp.float32)
+
+    def _phase_split_head(self, z, w30, b30, head, final_scale, cc_dt, _m):
+        """Phase-split lowering of the r==2 folded tail head (see
+        :meth:`_folded_head` docstring). ``w30``/``b30``: the dense folded
+        upscale3_0 kernel [3,3,C,4M] in canonical PS(2·fs) output order —
+        its tap slices outside u ∈ {a,a+1}, v ∈ {b,b+1} for phase (a,b)'s
+        output channels are structurally zero (asserted by
+        tests/test_depthnet_parity.py::test_phase_split_fold_zeros), so
+        dropping them is exact."""
+        fs = final_scale
+        rt = 2 * fs
+        wh, bh = _fold_wb(
+            head["kernel"].astype(jnp.float32),
+            head["bias"].astype(jnp.float32), rt,
+        )
+        c8 = np.arange(32)
+        g = np.arange(fs)
+        phases = [(a, b) for a in (0, 1) for b in (0, 1)]
+        # canonical PS(rt) channels owned by pending-r2 phase (a,b)
+        idxs = [
+            (c8[:, None, None] * rt * rt
+             + (a * fs + g[:, None]) * rt
+             + (b * fs + g[None, :])).ravel()
+            for a, b in phases
+        ]
+        m_per = 32 * fs * fs
+        use_mask = _m(z) is not z  # vmask present (exact bucketed eval)
+        if not use_mask:
+            # ONE wide [2,2,C,4M] conv: phase (a,b)'s map is the (a,b)-
+            # shifted slice of a 257²-style output (pad 1 on both sides),
+            # consumed by the per-phase head convs through their padding.
+            # Border rows/cols a phase's head-pad must see as ZERO but that
+            # hold real neighbor values for the other phases are gated off
+            # per channel group (fuses into the conv epilogue). Exact in
+            # fp32; in bf16 it differs from the per-phase form only by
+            # f32-accumulation order inside the conv.
+            w_all = jnp.concatenate(
+                [w30[a:a + 2, b:b + 2, :, :][..., idx]
+                 for (a, b), idx in zip(phases, idxs)], axis=-1)
+            b_all = jnp.concatenate([b30[idx] for idx in idxs])
+            big = jax.lax.conv_general_dilated(
+                z.astype(cc_dt), w_all.astype(cc_dt), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b_all.astype(cc_dt)
+            big = leaky_relu(big)
+            hN, wN = z.shape[1], z.shape[2]
+            ga0_r = (jnp.arange(hN + 1) != hN).astype(big.dtype)
+            ga1_r = (jnp.arange(hN + 1) != 0).astype(big.dtype)
+            ga0_c = (jnp.arange(wN + 1) != wN).astype(big.dtype)
+            ga1_c = (jnp.arange(wN + 1) != 0).astype(big.dtype)
+            grow = jnp.concatenate(
+                [jnp.tile((ga0_r if a == 0 else ga1_r)[:, None], (1, m_per))
+                 for a, b in phases], axis=1)
+            gcol = jnp.concatenate(
+                [jnp.tile((ga0_c if b == 0 else ga1_c)[:, None], (1, m_per))
+                 for a, b in phases], axis=1)
+            big = big * grow[None, :, None, :] * gcol[None, None, :, :]
+            pre = None
+            for k, ((a, b), idx) in enumerate(zip(phases, idxs)):
+                h_ab = jax.lax.conv_general_dilated(
+                    big[..., m_per * k:m_per * (k + 1)],
+                    wh[:, :, idx, :].astype(cc_dt), (1, 1),
+                    [(1 - a, a), (1 - b, b)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                pre = h_ab if pre is None else pre + h_ab
+        else:
+            pre = None
+            for (a, b), idx in zip(phases, idxs):
+                w_ab = w30[a:a + 2, b:b + 2, :, :][..., idx]
+                zp = jax.lax.conv_general_dilated(
+                    z.astype(cc_dt), w_ab.astype(cc_dt), (1, 1),
+                    [(1 - a, a), (1 - b, b)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + b30[idx].astype(cc_dt)
+                h_ab = jax.lax.conv_general_dilated(
+                    _m(leaky_relu(zp)),
+                    wh[:, :, idx, :].astype(cc_dt), (1, 1),
+                    [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                pre = h_ab if pre is None else pre + h_ab
+        pre = pre + bh.astype(cc_dt)
+        use_pallas = (self.pallas_output
+                      if isinstance(self.pallas_output, bool) else True)
+        if use_pallas:
+            from endosr.kernels.output_stage import output_stage
+
+            flat = output_stage(pre, rt, self.clamp_min, self.clamp_max)
+            b_, hr = flat.shape[0], flat.shape[1]
+            return flat.reshape(b_, hr, -1, self.out_nc)
+        out = pixel_shuffle(
+            jnp.clip(pre, self.clamp_min, self.clamp_max), rt
+        )
+        return out.astype(jnp.float32)
+
     def _init_head(self, rng):
         import jax as _jax
 
@@ -858,6 +1055,16 @@ class DepthNet(nn.Module):
         canonical), then emits the clipped fp32 SR image in one
         Pallas output-stage pass (or XLA shuffle+clip when disabled).
         ``vmask``: validity mask at z's resolution (exact bucketed eval).
+
+        With r == 2 the folded upscale3_0 runs PHASE-SPLIT: a 3×3 conv
+        folded through PS(2) has 75% structural zeros (output phase (a,b)
+        only reads taps u ∈ {a, a+1}, v ∈ {b, b+1} of the 3×3 window), so
+        the one dense [3,3,C,4M] conv becomes four [2,2,C,M] convs with
+        per-phase asymmetric padding — 2.25× fewer MACs, identical math
+        (the dense kernel's zero slices are dropped, nothing else). The
+        head then reads the four phase tensors as an input-channel split
+        of its folded conv (exact). Measured on v5e at the ×8 flagship
+        shape: upscale3_0 3.20 → ~1.3 ms.
         """
         cc = bool(self.centered_convs) and self.scale >= 4
         cc_dt = jnp.bfloat16 if cc else self.dtype
@@ -877,9 +1084,13 @@ class DepthNet(nn.Module):
         perm = compose_pixel_shuffle_perm(
             r, final_scale, 32 * final_scale ** 2 * r * r
         )
-        z = _conv_dt(_m(z), w30[..., perm], b30[perm], cc_dt, centered=cc)
-        r *= final_scale
+        w30, b30 = w30[..., perm], b30[perm]
         head = self.param("conv_output", self._init_head)
+        if r == 2 and not cc:
+            return self._phase_split_head(
+                _m(z), w30, b30, head, final_scale, cc_dt, _m)
+        z = _conv_dt(_m(z), w30, b30, cc_dt, centered=cc)
+        r *= final_scale
         wh, bh = _fold_wb(
             head["kernel"].astype(jnp.float32),
             head["bias"].astype(jnp.float32), r,

@@ -34,6 +34,8 @@ __all__ = [
     "leaky_relu",
     "fold_kernel_through_pixel_shuffle",
     "compose_pixel_shuffle_perm",
+    "packed_stage_kernel",
+    "packed_gate",
     "centered_conv",
     "masked_instance_norm",
     "masked_chained_instance_norm",
@@ -523,6 +525,78 @@ def fold_kernel_through_pixel_shuffle(w: jax.Array, r: int) -> jax.Array:
     w6 = jnp.zeros((t, t, c_in, r * r, c_out, r * r), w.dtype)
     w6 = w6.at[u, v, :, pq, :, ij].add(w[dy + pad, dx + pad])
     return w6.reshape(t, t, c_in * r * r, c_out * r * r)
+
+
+def packed_stage_kernel(w: jax.Array, s_in: int, s_out: int,
+                        in_interleaved: bool = False) -> jax.Array:
+    """Phase-packed lowering of a 3×3 SAME conv on a PS(2)-pending grid.
+
+    The fine grid (2N²) is represented as a PACKED tensor G[B, N+1, N+1, 4C]
+    where channel group (a, b) holds the fine-phase-(a,b) map shifted by
+    ``s``: ``G[Y, X, (a,b)] = fine[2(Y − s·a) + a, 2(X − s·b) + b]`` (s = 1:
+    "shifted" packing — the convention of DepthNet's phase-split tail; s = 0:
+    unshifted). A 3×3 conv on the fine grid then lowers to ONE [2,2,4C,4C']
+    conv on the packed tensor: 4/9 of the dense fold's MACs (the r=2 fold of
+    a 3×3 kernel is 75% structural zeros), full-width MXU shapes, and no
+    shuffle ever materializes. The (s_in, s_out) pair fixes the window:
+    (0,1)/(1,0) → taps {−1,0} (pad lo=1) / {0,+1} (pad hi=1) per axis.
+
+    ``in_interleaved``: the input is a REAL-grid tensor with torch-PS
+    channel order c·4 + a·2 + b (e.g. the mid-tail PS output) instead of
+    group-major packing — stage 1 of a packed chain.
+
+    Returns [2,2,4C,4C'] with group-major (a·2+b) channel order on both
+    sides (output always group-major). Exact math; see
+    tests/test_depthnet_parity.py::test_packed_tail_matches_dense.
+    """
+    k, c_in, c_out = w.shape[0], w.shape[2], w.shape[3]
+    assert k == 3 and w.shape[1] == 3
+    taps = []
+    for alpha in (0, 1):
+        for d in (-1, 0, 1):
+            a = (alpha + d) % 2
+            off = -s_out * alpha + (alpha + d - a) // 2 + s_in * a
+            taps.append((alpha, d, a, off))
+    lo = -min(t[3] for t in taps)
+    assert all(0 <= t[3] + lo <= 1 for t in taps)
+
+    w4 = jnp.zeros((2, 2, 4 * c_in, 4 * c_out), w.dtype)
+    cin_idx = np.arange(c_in)
+    cout_idx = np.arange(c_out)
+    for alpha, dy, a, offy in taps:
+        u = offy + lo
+        for beta, dx, b, offx in taps:
+            v = offx + lo
+            if in_interleaved:
+                in_ch = cin_idx * 4 + a * 2 + b
+            else:
+                in_ch = (a * 2 + b) * c_in + cin_idx
+            out_ch = (alpha * 2 + beta) * c_out + cout_idx
+            w4 = w4.at[u, v, in_ch[:, None], out_ch[None, :]].add(
+                w[dy + 1, dx + 1])
+    return w4
+
+
+def packed_gate(n: int, c_in: int, s: int, dtype) -> tuple[jax.Array, jax.Array]:
+    """(row, col) gates zeroing a packed tensor's out-of-fine-range slots.
+
+    ``n``: true grid size (packed size n+1). s = 1: group a = 0 is invalid
+    at slot n, group a = 1 at slot 0. s = 0: slot n invalid for all groups.
+    Returns ([n+1, 4C], [n+1, 4C]) multiplicative masks (row uses axis 1,
+    col axis 2).
+    """
+    y = np.arange(n + 1)
+    g0 = (y != n).astype(np.float32)
+    g1 = (y != 0).astype(np.float32) if s else g0
+    row = np.concatenate([
+        np.tile((g0 if a == 0 else g1)[:, None], (1, c_in))
+        for a in (0, 0, 1, 1)
+    ], axis=1)
+    col = np.concatenate([
+        np.tile((g0 if b == 0 else g1)[:, None], (1, c_in))
+        for b in (0, 1, 0, 1)
+    ], axis=1)
+    return jnp.asarray(row, dtype), jnp.asarray(col, dtype)
 
 
 def compose_pixel_shuffle_perm(r: int, s: int, channels: int) -> np.ndarray:

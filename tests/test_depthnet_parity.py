@@ -252,3 +252,80 @@ def test_depthnet_shapes_all_scales(scale, expect):
     out = jnet.apply({"params": params}, lq, depth, masks)
     assert out.shape == (1, expect, expect, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_phase_split_fold_zeros():
+    """The r=2-folded 3x3 kernel's taps outside u in {a,a+1}, v in {b,b+1}
+    for pending-phase (a,b)'s output channels are structurally zero — the
+    premise of DepthNet._phase_split_head's exact 2x2 phase convs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from endosr.nn.layers import (
+        compose_pixel_shuffle_perm,
+        fold_kernel_through_pixel_shuffle,
+    )
+
+    rng = np.random.default_rng(5)
+    fs = 2
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32 * fs * fs)), jnp.float32)
+    wf = fold_kernel_through_pixel_shuffle(w, 2)
+    perm = compose_pixel_shuffle_perm(2, fs, 32 * fs * fs * 4)
+    wf = np.asarray(wf[..., perm])
+    rt = 2 * fs
+    c8, g = np.arange(32), np.arange(fs)
+    for a in (0, 1):
+        for b in (0, 1):
+            idx = (c8[:, None, None] * rt * rt
+                   + (a * fs + g[:, None]) * rt
+                   + (b * fs + g[None, :])).ravel()
+            sub = wf[..., idx]
+            # rows/cols outside the phase's 2x2 window must be exactly zero
+            assert np.all(sub[2 - 2 * a, :, :, :] == 0)
+            assert np.all(sub[:, 2 - 2 * b, :, :] == 0)
+
+
+def test_phase_split_tail_matches_unfolded():
+    """DepthNet's phase-split folded tail (x8) equals the unfolded tail."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from endosr.nn.depthnet import DepthNet
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    dep = jnp.asarray(rng.random((1, 16, 16, 1), np.float32))
+    mk = jnp.asarray((rng.random((1, 16, 16, 10)) > 0.9).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=8,
+              depth_latent_ch=32, depth_range_num=10, dtype=jnp.float32,
+              pallas_output=False)
+    net = DepthNet(**kw)
+    params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    out = net.apply({"params": params}, lq, dep, mk)
+    ref = DepthNet(**{**kw, "fold_output_conv": False, "fold_tail": False}
+                   ).apply({"params": params}, lq, dep, mk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-6)
+
+
+def test_packed_tail_matches_dense():
+    """The phase-packed ×8 tail (DepthNet._packed_tail, packed_tail=True)
+    equals the dense-folded tail bit-for-bit in fp32 (same params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from endosr.nn.depthnet import DepthNet
+
+    rng = np.random.default_rng(1)
+    lq = jnp.asarray(rng.random((2, 16, 16, 3), np.float32))
+    dep = jnp.asarray(rng.random((2, 16, 16, 1), np.float32))
+    mk = jnp.asarray((rng.random((2, 16, 16, 10)) > 0.9).astype(np.float32))
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=8,
+              depth_latent_ch=32, depth_range_num=10, dtype=jnp.float32,
+              pallas_output=False)
+    net = DepthNet(**kw, packed_tail=True)
+    params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
+    a = net.apply({"params": params}, lq, dep, mk)
+    b = DepthNet(**kw, packed_tail=False).apply({"params": params}, lq, dep, mk)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)

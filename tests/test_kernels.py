@@ -75,3 +75,25 @@ def test_output_stage_twin_and_wiring():
     ox = np.asarray(net_x.apply({"params": params}, lq, depth, masks))
     assert op.shape == ox.shape == (1, 64, 64, 3)
     np.testing.assert_allclose(op, ox, atol=1e-6)
+
+
+def test_mid_shuffle_twin_and_grad():
+    """mid_shuffle (endosr/kernels/shuffle_mid.py): exact pixel_shuffle
+    twin + exact linear adjoint. On CPU it falls back to the twin; the TPU
+    kernel path was verified bit-exact on v5e (see module docstring — kept
+    unwired because custom-call operand layouts make it lose in-net)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.kernels.shuffle_mid import mid_shuffle
+    from endosr.nn.layers import pixel_shuffle
+
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.random((2, 8, 8, 512), dtype=np.float32) - 0.5)
+    want = pixel_shuffle(z, 2)
+    got = mid_shuffle(z, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    g1 = jax.grad(lambda z: jnp.sum(pixel_shuffle(z, 2) ** 2))(z)
+    g2 = jax.grad(lambda z: jnp.sum(mid_shuffle(z, 2) ** 2))(z)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
