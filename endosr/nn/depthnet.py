@@ -88,6 +88,26 @@ def _fold_wb(w, b, r):
         return w, b
     return fold_kernel_through_pixel_shuffle(w, r), jnp.repeat(b, r * r)
 
+
+def _pk_gate(x, s, c, n):
+    """Zero a packed tensor's out-of-fine-range slots (layers.packed_gate)."""
+    from endosr.nn.layers import packed_gate
+
+    row, col = packed_gate(n, c, s, x.dtype)
+    return x * row[None, :, None, :] * col[None, None, :, :]
+
+
+def _pk_conv(x, w, b, s_in, s_out, pad, dt, interleaved=False):
+    """One packed-grid conv stage: [2,2,4C,4C'] lowering of a fine-grid 3×3
+    conv (layers.packed_stage_kernel) + group-tiled bias."""
+    from endosr.nn.layers import packed_stage_kernel
+
+    k = packed_stage_kernel(w, s_in, s_out, in_interleaved=interleaved)
+    return jax.lax.conv_general_dilated(
+        x.astype(dt), k.astype(dt), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.tile(b, 4).astype(dt)
+
 __all__ = ["DepthNet", "Encoder", "region_wise_avg_pooling",
            "DepthResidualBlock", "ClassicResidualBlock"]
 
@@ -413,6 +433,13 @@ class DepthNet(nn.Module):
     # the dense r=2 folds, exact math. Serving fast path only (off under
     # centered convs and exact bucketed eval).
     packed_tail: bool = True
+    # Phase-packed up1-level chain (upscale1_3 / block15 / upscale2_0 as
+    # [2,2,4C,4C'] convs on the packed 129² grid). Exact (parity-tested)
+    # and 7% fewer FLOPs/frame, but measured SLOWER end-to-end on v5e
+    # (227.2 vs 235.1 fps/chip, bs8 ×8): the odd 129² spatial extent and
+    # per-stage border gates cost more than the saved MACs at 128-512
+    # channels. Kept as an A/B knob; default off.
+    packed_up1: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -731,24 +758,53 @@ class DepthNet(nn.Module):
                 "upscale1_3",
                 WNConvParams(64 * 9, (3, 3, 64, 32), self.param_dtype),
             )
-            w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
-            z = leaky_relu(_conv_dt(_m(h), w13, b13, cc_dt, centered=cc))
-            # classic block 15 (blocks[nb-2]) folded by 2
-            (wb0, bb0), (wb2, bb2) = blocks[nb - 2].effective_weights()
-            wb0, bb0 = _fold_wb(wb0, bb0, 2)
-            wb2, bb2 = _fold_wb(wb2, bb2, 2)
-            t = nn.relu(_conv_dt(_m(z), wb0, bb0, cc_dt, centered=cc))
-            z = nn.relu(z + _conv_dt(_m(t), wb2, bb2, cc_dt, centered=cc))
-            # upscale2_0 folded by 2 (native 32→128): 128→512 at LR², then
-            # the deferred upscale1 shuffle is applied for real — its output
-            # channel layout is already canonical PS(2)
             p20 = self.param(
                 "upscale2_0",
                 WNConvParams(32 * 9, (3, 3, 32, 32 * 4), self.param_dtype),
             )
-            w20, b20 = _fold_wb(*wn_effective_kernel(p20), 2)
-            z = leaky_relu(_conv_dt(_m(z), w20, b20, cc_dt, centered=cc))
-            z = pixel_shuffle(z, 2)
+            if self.packed_up1 and self.packed_tail and not cc and vm is None:
+                # phase-packed up1-level chain (see _packed_tail docstring):
+                # upscale1_3, block15 and upscale2_0 as [2,2,4C,4C'] convs
+                # on the packed 129² grid — 2.25× fewer MACs than their
+                # dense r=2 folds. The interleave to the real 256² grid
+                # (formerly the mid-tail pixel_shuffle) reads the packed
+                # tensor's valid slots instead.
+                dtp = self.dtype
+                n1 = h.shape[1]
+                w13n, b13n = wn_effective_kernel(p13)
+                (w50, b50), (w52, b52) = blocks[nb - 2].effective_weights()
+                w20n, b20n = wn_effective_kernel(p20)
+                g1 = _pk_gate(leaky_relu(_pk_conv(
+                    h, w13n, b13n, 0, 1, [(1, 1), (1, 1)], dtp,
+                    interleaved=True)), 1, 32, n1)
+                g2 = _pk_gate(nn.relu(_pk_conv(
+                    g1, w50, b50, 1, 0, [(0, 1), (0, 1)], dtp)), 0, 32, n1)
+                g3 = _pk_gate(nn.relu(g1 + _pk_conv(
+                    g2, w52, b52, 0, 1, [(1, 0), (1, 0)], dtp)), 1, 32, n1)
+                g4 = _pk_gate(leaky_relu(_pk_conv(
+                    g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp)),
+                    0, 128, n1)
+                # interleave the packed (unshifted) grid to real 256²:
+                # z256[2Y+a, 2X+b, o] = g4[Y, X, (a·2+b)·128 + o]
+                gv = g4[:, :n1, :n1, :].reshape(
+                    g4.shape[0], n1, n1, 2, 2, 128)
+                z = gv.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    g4.shape[0], 2 * n1, 2 * n1, 128)
+            else:
+                w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
+                z = leaky_relu(_conv_dt(_m(h), w13, b13, cc_dt, centered=cc))
+                # classic block 15 (blocks[nb-2]) folded by 2
+                (wb0, bb0), (wb2, bb2) = blocks[nb - 2].effective_weights()
+                wb0, bb0 = _fold_wb(wb0, bb0, 2)
+                wb2, bb2 = _fold_wb(wb2, bb2, 2)
+                t = nn.relu(_conv_dt(_m(z), wb0, bb0, cc_dt, centered=cc))
+                z = nn.relu(z + _conv_dt(_m(t), wb2, bb2, cc_dt, centered=cc))
+                # upscale2_0 folded by 2 (native 32→128): 128→512 at LR²,
+                # then the deferred upscale1 shuffle is applied for real —
+                # its output channel layout is already canonical PS(2)
+                w20, b20 = _fold_wb(*wn_effective_kernel(p20), 2)
+                z = leaky_relu(_conv_dt(_m(z), w20, b20, cc_dt, centered=cc))
+                z = pixel_shuffle(z, 2)
             r = 2
             p23 = self.param(
                 "upscale2_3", WNConvParams(32 * 9, (3, 3, 32, 32), self.param_dtype)

@@ -329,3 +329,7 @@ def test_packed_tail_matches_dense():
     a = net.apply({"params": params}, lq, dep, mk)
     b = DepthNet(**kw, packed_tail=False).apply({"params": params}, lq, dep, mk)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
+    # the optional packed up1-level chain (packed_up1=True) is exact too
+    c = DepthNet(**kw, packed_tail=True, packed_up1=True).apply(
+        {"params": params}, lq, dep, mk)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=3e-6)
