@@ -1,0 +1,106 @@
+"""Real per-fusion device timings for the flagship forward (dev tool).
+
+Traces N chained flagship forwards with jax.profiler.trace (works through
+the axon tunnel) and aggregates on-device op durations from the captured
+.trace.json.gz, printing the top fusions by total time. This is the ground
+truth the isolated-op breakdown (bench_breakdown.py) approximates.
+
+Usage: python tools/profile_fusions.py [N_iters]
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.nn.depthnet import DepthNet
+
+    lr, batch = 128, 8
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.random((batch, lr, lr, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.random((batch, lr, lr, 1), dtype=np.float32))
+    masks_np = np.zeros((batch, lr, lr, 10), np.float32)
+    bins = rng.integers(0, 10, (batch, lr, lr))
+    for k in range(10):
+        masks_np[..., k] = bins == k
+    masks = jnp.asarray(masks_np)
+
+    kw = dict(which_resblk_depth=tuple(range(14)), scale=8,
+              depth_latent_ch=256, depth_range_num=10)
+    extra = json.loads(os.environ.get("NET_KW", "{}"))
+    net = DepthNet(dtype=jnp.bfloat16, **kw, **extra)
+    params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
+
+    @jax.jit
+    def step(params, lq, depth, masks, acc):
+        out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
+        return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
+
+    acc = jnp.float32(0.0)
+    for _ in range(3):  # compile + warm
+        _, acc = step(params, lq, depth, masks, acc)
+    jax.device_get(acc)
+
+    tdir = "/tmp/fusion_trace"
+    os.system(f"rm -rf {tdir}")
+    with jax.profiler.trace(tdir):
+        for _ in range(n_iters):
+            _, acc = step(params, lq, depth, masks, acc)
+        jax.device_get(acc)
+
+    paths = glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz")
+    if not paths:
+        print("no trace captured", file=sys.stderr)
+        sys.exit(1)
+    with gzip.open(paths[0], "rt") as f:
+        trace = json.load(f)
+
+    # device-lane complete events: aggregate by op name
+    durs = defaultdict(float)
+    cnts = defaultdict(int)
+    pid_names = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "?")
+        durs[name] += ev.get("dur", 0.0)
+        cnts[name] += 1
+    if not durs:
+        print("no complete events; pids seen:", pid_names, file=sys.stderr)
+        sys.exit(1)
+
+    total = sum(durs.values())
+    rows = sorted(durs.items(), key=lambda kv: -kv[1])
+    print(f"{'us/iter':>10} {'%':>6} {'count':>6}  op")
+    shown = 0.0
+    for name, d in rows[:40]:
+        print(f"{d / n_iters:10.1f} {100 * d / total:6.2f} "
+              f"{cnts[name]:6d}  {name[:110]}")
+        shown += d
+    print(f"total device us/iter: {total / n_iters:.1f} "
+          f"(top-40 covers {100 * shown / total:.1f}%)")
+
+
+if __name__ == "__main__":
+    main()
