@@ -440,6 +440,18 @@ class DepthNet(nn.Module):
     # per-stage border gates cost more than the saved MACs at 128-512
     # channels. Kept as an A/B knob; default off.
     packed_up1: bool = False
+    # Fused packed-tail head (endosr/kernels/fused_tail.py): the folded
+    # [3,3,512,48] head conv + clamp + PS(4) + f32 rows as ONE Pallas pass.
+    # XLA's split lowering caps the head conv at 48/128 = 37.5% MXU lane
+    # utilization and pays a 2.9 ms scatter-matmul output stage; the kernel
+    # runs the conv at 432/512 lanes and chunk-scatters the interleave.
+    # MEASURED (v5e, ×8 bs8): kernel stage 4.55 ms vs 6.5 ms split — but
+    # feeding it costs a 2.07 ms {(b,c)→lane}-retile XLA cannot elide
+    # (conv tiles put batch in sublanes inside c-tiles; every batch-
+    # sliceable default-layout form retiles), so end-to-end is a wash
+    # (34.1 vs 33.9 ms). Default False; True/"auto" enable on TPU when
+    # the packed ×8 tail shape qualifies.
+    pallas_tail: Any = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -958,9 +970,41 @@ class DepthNet(nn.Module):
             WNConvParams(32 * 9, (3, 3, 32, 32 * fs * fs), self.param_dtype),
         )
         w30, b30 = wn_effective_kernel(p30)
-        g4 = gate(leaky_relu(pconv(
-            g3, packed_stage_kernel(w30, 1, 0), [(0, 1), (0, 1)], b30)),
-            0, 32 * fs * fs)
+
+        # Fused head kernel (endosr/kernels/fused_tail.py): its halo DMA
+        # needs the column dim 8-sublane aligned, so the last packed stage
+        # right-pads its output columns (zero-gated; never read by the
+        # head's [0..n] column window).
+        use_fused = False
+        padw = 0
+        if (self.pallas_tail if isinstance(self.pallas_tail, bool) else True):
+            from endosr.kernels.fused_tail import fused_tail_supported
+
+            padw = (-(n + 1)) % 8
+            use_fused = fused_tail_supported(
+                (z.shape[0], n + 1, n + 1 + padw, 4 * 32 * fs * fs),
+                rt, self.out_nc)
+            if not use_fused:
+                padw = 0
+
+        c30 = packed_stage_kernel(w30, 1, 0)
+        if use_fused:
+            # emit the conv in HWNC logical order: its physical bytes equal
+            # the NHWC conv's natural {3,0,2,1} layout, so the fused kernel
+            # reads it with zero relayout (a post-hoc transpose measured
+            # 2.07 ms at the flagship shape)
+            g4r = leaky_relu(jax.lax.conv_general_dilated(
+                g3.astype(dt), c30.astype(dt), (1, 1),
+                [(0, 1), (0, 1 + padw)],
+                dimension_numbers=("NHWC", "HWIO", "HWNC"),
+            ) + jnp.tile(b30, 4).astype(dt))
+            row, col = packed_gate(n, 32 * fs * fs, 0, g4r.dtype)
+            colw = jnp.concatenate(
+                [col, jnp.zeros((padw, col.shape[1]), col.dtype)], axis=0)
+            g4 = g4r * row[:, None, None, :] * colw[None, :, None, :]
+        else:
+            g4 = gate(leaky_relu(pconv(g3, c30, [(0, 1), (0, 1)], b30)),
+                      0, 32 * fs * fs)
 
         # head: fold by rt, then permute its input channels from canonical
         # PS(rt) order (c·rt² + (2α+g)·rt + 2β+h) to g4's group-major
@@ -978,6 +1022,14 @@ class DepthNet(nn.Module):
              + (b * fs + gg[None, :])).ravel()
             for a in (0, 1) for b in (0, 1)
         ])
+        if use_fused:
+            from endosr.kernels.fused_tail import fused_tail
+
+            flat = fused_tail(g4, wh[:, :, perm, :].astype(dt),
+                              bh.astype(jnp.float32),
+                              self.clamp_min, self.clamp_max, "hwbc")
+            return flat.reshape(
+                flat.shape[0], flat.shape[1], -1, self.out_nc)
         pre = jax.lax.conv_general_dilated(
             g4, wh[:, :, perm, :].astype(dt), (1, 1),
             [(1, 0), (1, 0)],
