@@ -90,6 +90,45 @@ def main():
         print("no complete events; pids seen:", pid_names, file=sys.stderr)
         sys.exit(1)
 
+    # map trace op names (fusion.N / copy.N / ...) to their HLO definition:
+    # root instruction + operand shapes, from the compiled module text
+    hlo = step.lower(params, lq, depth, masks, acc).compile().as_text()
+    defs: dict[str, str] = {}
+    cur = None
+    body: list[str] = []
+    for line in hlo.splitlines():
+        ls = line.strip()
+        if ls.startswith("%fused_computation") or (
+                " fusion(" in ls or " copy(" in ls or " convolution(" in ls
+                or " custom-call(" in ls or " dot(" in ls):
+            # top-level entry instruction: "%name = type op(...)"
+            if ls.startswith("%") and "=" in ls:
+                nm = ls.split("=", 1)[0].strip().lstrip("%")
+                defs[nm] = ls.split("=", 1)[1].strip()
+        if ls.startswith("ROOT ") and cur:
+            body.append(ls)
+    # fusion roots: second pass, track computation blocks
+    comp_root: dict[str, str] = {}
+    cur = None
+    for line in hlo.splitlines():
+        ls = line.strip()
+        if ls.startswith("%fused_computation") and "{" in ls:
+            cur = ls.split()[0].lstrip("%").split("(")[0]
+        elif ls.startswith("ROOT ") and cur:
+            comp_root[cur] = ls[5:]
+            cur = None
+
+    def describe(name: str) -> str:
+        d = defs.get(name, "")
+        if "calls=" in d:
+            comp = d.split("calls=")[1].split(",")[0].split(")")[0].strip("%")
+            root = comp_root.get(comp, "")
+            if root:
+                # strip metadata for readability
+                root = root.split(", metadata=")[0]
+                return root[:240]
+        return d.split(", metadata=")[0][:240]
+
     total = sum(durs.values())
     rows = sorted(durs.items(), key=lambda kv: -kv[1])
     print(f"{'us/iter':>10} {'%':>6} {'count':>6}  op")
@@ -97,6 +136,9 @@ def main():
     for name, d in rows[:40]:
         print(f"{d / n_iters:10.1f} {100 * d / total:6.2f} "
               f"{cnts[name]:6d}  {name[:110]}")
+        desc = describe(name)
+        if desc:
+            print(f"{'':24}↳ {desc}")
         shown += d
     print(f"total device us/iter: {total / n_iters:.1f} "
           f"(top-40 covers {100 * shown / total:.1f}%)")
