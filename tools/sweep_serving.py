@@ -73,17 +73,21 @@ def main():
             params = net.init(jax.random.PRNGKey(0), lq, depth, masks)[
                 "params"]
 
+            # honest serving step: the SR frame is a root of the jitted
+            # program so it MATERIALIZES in HBM every iteration (a pure
+            # scalar-reduce consumer lets XLA elide the output layout work,
+            # which round-1 sweeps under-counted — see bench.py)
             @jax.jit
             def step(params, lq, depth, masks, acc, net=net):
                 out = net.apply({"params": params}, lq + acc * 0.0, depth,
                                 masks)
-                return acc + jnp.mean(out) * 1e-12
+                return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
 
             def run(n):
                 acc = jnp.float32(0.0)
                 t0 = time.perf_counter()
                 for _ in range(n):
-                    acc = step(params, lq, depth, masks, acc)
+                    _, acc = step(params, lq, depth, masks, acc)
                 v = jax.device_get(acc)
                 assert np.isfinite(v)
                 return time.perf_counter() - t0
