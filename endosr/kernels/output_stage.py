@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["output_stage", "output_stage_reference", "output_stage_supported"]
+__all__ = ["output_stage", "output_stage_reference", "output_stage_supported",
+           "output_stage_x8", "output_stage_x8_reference",
+           "output_stage_x8_supported", "embed_head_channels"]
 
 TH = 8  # input rows per program
 
@@ -130,6 +132,159 @@ def output_stage(pre, r, clamp_min=0.0, clamp_max=1.0):
     otherwise. Gradients always flow through the twin's VJP.
     """
     return _forward(pre, r, clamp_min, clamp_max)
+
+
+# ---------------------------------------------------------------------------
+# v3: embedded-channel variant for r=4, C=3 (the ×8/×4 serving tails).
+#
+# The v2 scatter matmul contracts with M=12 output rows — 9% MXU sublane
+# utilization — and costs 2.9 ms at the flagship shape (bandwidth roofline
+# ~0.2 ms). v3 restructures the interleave so the one-hot contraction runs
+# with M=TH·64=512 (all row-band phases stacked on the M axis):
+#
+#   1. the PRODUCER conv emits 64 channels instead of 48, reordered to
+#      i·16 + (j·3 + c) with 4 zero channels after each 12
+#      (``embed_head_channels``) — free: XLA pads a 48-lane conv to 128
+#      lanes either way, and zero kernel columns cost nothing;
+#   2. the kernel clamps, transposes each row band to [64, W] (XLU) and
+#      stacks them → C [TH·64, W] with rows (y, i, m′);
+#   3. per 128-column chunk, ONE dot C_k [TH·64, 128] × SC [128, 1536]
+#      spreads x to stride-12 lane positions (one-hot, exact in bf16);
+#   4. a lane mask picks m′ = n%12 and an aligned [TH·4, 16, 1536]
+#      reshape + sum collapses the 16-row phase groups (the 4 pad rows
+#      are structurally zero) → dense fp32 rows.
+#
+# No halo → BlockSpec auto-pipelining; no manual DMA.
+# ---------------------------------------------------------------------------
+
+_V3_R, _V3_C = 4, 3
+_V3_RC = _V3_R * _V3_C          # 12 row-phase channels
+_V3_CP = 16                     # padded per-phase channel group
+_V3_XC = 128                    # x columns per chunk (lane-slice granularity)
+
+
+def embed_head_channels(w, b):
+    """Reorder+pad a [..., 48] head conv (canonical PS(4) output order
+    c·16+i·4+j) to 64 channels in i·16+(j·3+c) order, zeros at m′≥12.
+
+    Apply to the producer's folded kernel/bias so its conv output feeds
+    :func:`output_stage_x8` directly. Exact: adds zero output channels and
+    permutes the rest (same MXU time — the 48-lane conv already padded to
+    128 lanes).
+    """
+    m = np.arange(48)
+    i, j, c = m // 12, (m % 12) // 3, m % 3
+    src = c * 16 + i * 4 + j          # canonical channel for (i, j, c)
+    dst = i * _V3_CP + (j * 3 + c)    # embedded slot
+    wp = jnp.zeros(w.shape[:-1] + (64,), w.dtype)
+    bp = jnp.zeros((64,), b.dtype)
+    wp = wp.at[..., dst].set(w[..., src])
+    bp = bp.at[dst].set(b[src])
+    return wp, bp
+
+
+def output_stage_x8_reference(pre64, clamp_min=0.0, clamp_max=1.0):
+    """jnp twin of :func:`output_stage_x8` (un-embeds, then v2 reference)."""
+    m = np.arange(48)
+    i, j, c = m // 12, (m % 12) // 3, m % 3
+    # canonical channel c·16+i·4+j ← embedded slot i·16+(j·3+c)
+    gather = np.empty(48, np.int64)
+    gather[c * 16 + i * 4 + j] = i * _V3_CP + j * 3 + c
+    return output_stage_reference(pre64[..., gather], _V3_R,
+                                  clamp_min, clamp_max)
+
+
+def output_stage_x8_supported(shape) -> bool:
+    b, h, w, c64 = shape
+    return c64 == 64 and h % TH == 0 and w % _V3_XC == 0
+
+
+def _v3_scatter(dtype):
+    """0/1 [XC, XC·12]: column n takes x-row n//12."""
+    sc = np.zeros((_V3_XC, _V3_XC * _V3_RC), np.float32)
+    for n in range(_V3_XC * _V3_RC):
+        sc[n // _V3_RC, n] = 1.0
+    return jnp.asarray(sc, dtype)
+
+
+def _v3_lane_mask():
+    """0/1 [16, XC·12]: column n keeps phase row n%12 (pad rows zero)."""
+    m = np.zeros((_V3_CP, _V3_XC * _V3_RC), np.float32)
+    for n in range(_V3_XC * _V3_RC):
+        m[n % _V3_RC, n] = 1.0
+    return jnp.asarray(m, jnp.float32)
+
+
+def _kernel_v3(pre_ref, sc_ref, m_ref, out_ref, *, clamp_min, clamp_max):
+    th, w = pre_ref.shape[1], pre_ref.shape[2]
+    tile = jnp.clip(pre_ref[0], clamp_min, clamp_max)       # [TH, W, 64]
+    ct = jnp.swapaxes(tile, 1, 2).reshape(th * 64, w)       # rows (y,i,m')
+    sc = sc_ref[...]
+    lm = m_ref[...]
+    for k in range(w // _V3_XC):
+        d = jax.lax.dot_general(
+            ct[:, k * _V3_XC:(k + 1) * _V3_XC], sc,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # [TH·64, 1536]
+        r = jnp.sum(
+            d.reshape(th * _V3_R, _V3_CP, _V3_XC * _V3_RC) * lm[None],
+            axis=1,
+        )                                                   # [TH·4, 1536]
+        out_ref[0, :, k * _V3_XC * _V3_RC:(k + 1) * _V3_XC * _V3_RC] = r
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def output_stage_x8(pre64, clamp_min=0.0, clamp_max=1.0):
+    """clip→PS(4)→fp32 from an embedded-channel head ([B,H,W,64] via
+    :func:`embed_head_channels`) → [B,H·4,W·12] dense fp32 rows.
+
+    Falls back to the jnp twin off-TPU / on unsupported shapes. Gradients
+    flow through the twin's VJP.
+    """
+    return _forward_x8(pre64, clamp_min, clamp_max)
+
+
+def _forward_x8(pre64, clamp_min, clamp_max, interpret=False):
+    if not interpret and (jax.default_backend() != "tpu"
+                          or not output_stage_x8_supported(pre64.shape)):
+        return output_stage_x8_reference(pre64, clamp_min, clamp_max)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, _ = pre64.shape
+    return pl.pallas_call(
+        functools.partial(_kernel_v3, clamp_min=clamp_min,
+                          clamp_max=clamp_max),
+        grid=(b, h // TH),
+        in_specs=[
+            pl.BlockSpec((1, TH, w, 64), lambda bb, hh: (bb, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_V3_XC, _V3_XC * _V3_RC), lambda bb, hh: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_V3_CP, _V3_XC * _V3_RC), lambda bb, hh: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH * _V3_R, w * _V3_RC),
+                               lambda bb, hh: (bb, hh, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h * _V3_R, w * _V3_RC),
+                                       jnp.float32),
+        interpret=interpret,
+    )(pre64, _v3_scatter(pre64.dtype), _v3_lane_mask())
+
+
+def _fwd_x8(pre64, clamp_min, clamp_max):
+    return _forward_x8(pre64, clamp_min, clamp_max), pre64
+
+
+def _bwd_x8(clamp_min, clamp_max, pre64, g):
+    _, vjp = jax.vjp(
+        lambda p: output_stage_x8_reference(p, clamp_min, clamp_max), pre64)
+    return vjp(g)
+
+
+output_stage_x8.defvjp(_fwd_x8, _bwd_x8)
 
 
 def _forward_v2(pre, r, clamp_min, clamp_max):

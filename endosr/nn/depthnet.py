@@ -405,6 +405,21 @@ class DepthNet(nn.Module):
     # ~24 MB ``shifted`` mask stack is read once per group instead of once
     # per SEAN instance. 1 = per-block dots.
     style_chunk: int = 4
+    # Blend-fold (lazy mode): reassociate SEAN's α blend
+    #   γ = α·γ_s + (1−α)·γ_o
+    # into the branch producers — the style dot's v is α-scaled, the
+    # o-branch conv2 weights are (1−α)-scaled, the biases merge into one
+    # blended bias — so the block epilogue reads ONE blended (γ,β) map per
+    # SEAN instead of separate o/s maps (the conv2 fusion adds the style
+    # slice in its epilogue). Exact reassociation of the same math (fp32
+    # differences are multiplication-order rounding only; f64 fold-vs-
+    # nofold gradient parity 2.6e-13); gradients flow through the folds to
+    # the same parameters, α included. MEASURED NEUTRAL on v5e ×8 bs8
+    # (232.3 vs 235.5 fps/chip — within run noise): XLA already folds the
+    # blend into the consumer fusions, so halving the nominal map count
+    # doesn't change scheduled HBM traffic. Default off; kept as an A/B
+    # knob for other shapes/hardware.
+    blend_fold: bool = False
     # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
     # SEAN depth-map branch — the network's single largest op. Measured
     # SLOWER than XLA on v5e (15.3 ms vs 6.3 ms in isolation: XLA's grouped
@@ -633,6 +648,7 @@ class DepthNet(nn.Module):
 
         lazy = bool(do_hoist and self.lazy_branches and not can_fuse
                     and not self.pallas_obranch) if do_hoist else False
+        blend = bool(lazy and self.blend_fold and want_style)
         lazy_o: dict[int, tuple] = {}
         lazy_s: dict[int, tuple] = {}
         style_groups: dict[int, list[int]] = {}
@@ -694,12 +710,18 @@ class DepthNet(nn.Module):
             sh = shifted
             if tie is not None:
                 sh, _ = jax.lax.optimization_barrier((sh, tie))
-            v_list, w_list = [], []
+            v_list, w_list, a_list, ob_list = [], [], [], []
             for i in ids:
                 v1, w1, v2, w2 = lazy_s[i]
                 v_list += [v1, v2]
                 w_list += [w1, w2]
-            outs = style_chunk_dot(sh, v_list, w_list, mod_dt)
+                if blend:
+                    a_list += blocks[i].blend_alphas()
+                    dbw = blocks[i].depth_branch_weights()
+                    ob_list += [dbw[0][2], dbw[1][2]]
+            outs = style_chunk_dot(sh, v_list, w_list, mod_dt,
+                                   alphas=a_list if blend else None,
+                                   o_biases=ob_list if blend else None)
             for idx, i in enumerate(ids):
                 sb_map[i] = (outs[2 * idx], outs[2 * idx + 1])
 
@@ -715,13 +737,25 @@ class DepthNet(nn.Module):
 
         def run_block(i: int, feat):
             if i in which:
-                ob, sb = ob_map.get(i), sb_map.get(i)
+                ob, sb, mod = ob_map.get(i), sb_map.get(i), mod_map.get(i)
                 if i in lazy_o:
                     a1, w1, a2, w2 = lazy_o[i]
-                    ob = (o_branch_from_actv(a1, w1, mod_dt),
-                          o_branch_from_actv(a2, w2, mod_dt))
+                    if blend:
+                        # blend-fold: (1−α)-scaled conv2 + α-scaled style
+                        # (with the blended bias) = the final (γ, β); one
+                        # map per SEAN, the add fuses into conv2's epilogue
+                        al = blocks[i].blend_alphas()
+                        o1 = o_branch_from_actv(a1, w1, mod_dt, alphas=al[0])
+                        o2 = o_branch_from_actv(a2, w2, mod_dt, alphas=al[1])
+                        s1, s2 = sb
+                        mod = ((o1[0] + s1[0], o1[1] + s1[1]),
+                               (o2[0] + s2[0], o2[1] + s2[1]))
+                        ob = sb = None
+                    else:
+                        ob = (o_branch_from_actv(a1, w1, mod_dt),
+                              o_branch_from_actv(a2, w2, mod_dt))
                 return blocks[i](feat, depth_map, depth_mask, depth_vec,
-                                 ob=ob, sb=sb, mod=mod_map.get(i),
+                                 ob=ob, sb=sb, mod=mod,
                                  vmask=_vm_for(feat))
             return blocks[i](feat, vmask=_vm_for(feat))
 
@@ -1030,13 +1064,33 @@ class DepthNet(nn.Module):
                               self.clamp_min, self.clamp_max, "hwbc")
             return flat.reshape(
                 flat.shape[0], flat.shape[1], -1, self.out_nc)
+        use_pallas = (self.pallas_output
+                      if isinstance(self.pallas_output, bool) else True)
+        if use_pallas and rt == 4 and self.out_nc == 3:
+            # v3 output stage: the head conv emits 64 embedded channels
+            # (free — the 48-lane conv pads to 128 lanes either way) and
+            # the M-stacked interleave kernel writes the fp32 rows (see
+            # endosr/kernels/output_stage.py)
+            from endosr.kernels.output_stage import (
+                embed_head_channels,
+                output_stage_x8,
+                output_stage_x8_supported,
+            )
+
+            w64, b64 = embed_head_channels(wh[:, :, perm, :], bh)
+            if output_stage_x8_supported((g4.shape[0], n, n, 64)):
+                pre64 = jax.lax.conv_general_dilated(
+                    g4, w64.astype(dt), (1, 1), [(1, 0), (1, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) + b64.astype(dt)
+                flat = output_stage_x8(pre64, self.clamp_min, self.clamp_max)
+                b_, hr = flat.shape[0], flat.shape[1]
+                return flat.reshape(b_, hr, -1, self.out_nc)
         pre = jax.lax.conv_general_dilated(
             g4, wh[:, :, perm, :].astype(dt), (1, 1),
             [(1, 0), (1, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bh.astype(dt)
-        use_pallas = (self.pallas_output
-                      if isinstance(self.pallas_output, bool) else True)
         if use_pallas:
             from endosr.kernels.output_stage import output_stage
 
@@ -1074,6 +1128,25 @@ class DepthNet(nn.Module):
         ]
         m_per = 32 * fs * fs
         use_mask = _m(z) is not z  # vmask present (exact bucketed eval)
+        use_pallas = (self.pallas_output
+                      if isinstance(self.pallas_output, bool) else True)
+        v3 = False
+        if use_pallas and not use_mask and rt == 4 and self.out_nc == 3:
+            from endosr.kernels.output_stage import (
+                embed_head_channels,
+                output_stage_x8,
+                output_stage_x8_supported,
+            )
+
+            v3 = output_stage_x8_supported(
+                (z.shape[0], z.shape[1], z.shape[2], 64))
+
+        def head_w(idx):
+            """Per-phase head kernel — v3 embeds its 48 output channels
+            into the 64-slot order the v3 interleave kernel consumes."""
+            w_ab = wh[:, :, idx, :]
+            return embed_head_channels(w_ab, bh)[0] if v3 else w_ab
+
         if not use_mask:
             # ONE wide [2,2,C,4M] conv: phase (a,b)'s map is the (a,b)-
             # shifted slice of a 257²-style output (pad 1 on both sides),
@@ -1109,7 +1182,7 @@ class DepthNet(nn.Module):
             for k, ((a, b), idx) in enumerate(zip(phases, idxs)):
                 h_ab = jax.lax.conv_general_dilated(
                     big[..., m_per * k:m_per * (k + 1)],
-                    wh[:, :, idx, :].astype(cc_dt), (1, 1),
+                    head_w(idx).astype(cc_dt), (1, 1),
                     [(1 - a, a), (1 - b, b)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
@@ -1130,9 +1203,13 @@ class DepthNet(nn.Module):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
                 pre = h_ab if pre is None else pre + h_ab
+        if v3:
+            pre = pre + embed_head_channels(wh[:, :, idxs[0], :],
+                                            bh)[1].astype(cc_dt)
+            flat = output_stage_x8(pre, self.clamp_min, self.clamp_max)
+            b_, hr = flat.shape[0], flat.shape[1]
+            return flat.reshape(b_, hr, -1, self.out_nc)
         pre = pre + bh.astype(cc_dt)
-        use_pallas = (self.pallas_output
-                      if isinstance(self.pallas_output, bool) else True)
         if use_pallas:
             from endosr.kernels.output_stage import output_stage
 

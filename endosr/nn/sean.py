@@ -167,14 +167,33 @@ def precompute_o_actv(weights, depth_map, dtype, vmask=None):
     return _split_channels(actv, n, c2)
 
 
-def o_branch_from_actv(actv_i, weight, dtype):
+def alpha_vec(alphas, c, dtype):
+    """Per-output-channel blend factors [2C] from a SEAN's (α_γ, α_β)."""
+    ag, ab = alphas
+    return jnp.concatenate([
+        jnp.broadcast_to(ag.reshape(()).astype(dtype), (c,)),
+        jnp.broadcast_to(ab.reshape(()).astype(dtype), (c,)),
+    ])
+
+
+def o_branch_from_actv(actv_i, weight, dtype, alphas=None):
     """Per-instance second o-branch conv: [B,h,w,2C] → (γ_o, β_o).
 
     ``weight``: the ``(w_mask, w_ob, b_ob)`` triple of ONE SEAN instance.
     Identical math to that instance's slice of :func:`hoisted_o_branch`.
+
+    ``alphas``: blend-fold mode — scale the conv's output columns by
+    (1−α) (folded into the weights) and SKIP the bias (it is blended into
+    the style dot's bias by :func:`style_chunk_dot`); the caller adds the
+    α-scaled style term to form the final blended (γ, β) directly, so only
+    ONE modulation map per SEAN ever materializes (the epilogue previously
+    read separate (γ_o,β_o) and (γ_s,β_s) maps — 2× the HBM traffic).
     """
     _, w_ob, b_ob = weight
     c = w_ob.shape[-1] // 2
+    if alphas is not None:
+        w_ob = w_ob * (1.0 - alpha_vec(alphas, c, w_ob.dtype))
+        b_ob = jnp.zeros_like(b_ob)
     ob = jax.lax.conv_general_dilated(
         actv_i, w_ob.astype(dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -224,7 +243,8 @@ def style_from_shifted(shifted, v_i, weight, dtype):
             y[..., c:] + weight[3]["bias"].astype(dtype))
 
 
-def style_chunk_dot(shifted, v_list, weights, dtype):
+def style_chunk_dot(shifted, v_list, weights, dtype, alphas=None,
+                    o_biases=None):
     """One batched style matmul for a GROUP of SEAN instances.
 
     ``v_list``: per-instance [B,9K,2C] kernels (from
@@ -234,16 +254,31 @@ def style_chunk_dot(shifted, v_list, weights, dtype):
     shape) once per group instead of once per instance — per-instance dots
     measured 2.18 ms/step for 52 reads; grouping by 4 blocks cuts that to
     7 reads. Returns [(γ_i, β_i), ...] in instance order.
+
+    ``alphas``/``o_biases``: blend-fold mode — per-instance (α_γ, α_β) and
+    o-branch biases. Each instance's v is scaled by α and its bias becomes
+    the fully blended ``α·b_s + (1−α)·b_o``; adding the (1−α)-scaled
+    o-branch conv output (:func:`o_branch_from_actv` with ``alphas``)
+    then yields the final blended (γ, β) — identical math to SEAN's
+    α-blend epilogue, reassociated so one map materializes per SEAN.
     """
     c = weights[0][2]["kernel"].shape[-1]
+    if alphas is not None:
+        avs = [alpha_vec(a, c, v.dtype) for a, v in zip(alphas, v_list)]
+        v_list = [v * av[None, None, :] for v, av in zip(v_list, avs)]
     v = jnp.concatenate(v_list, axis=-1)  # [B, 9K, G·2C]
     y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
     halves = _split_channels(y, 2 * len(weights), c)
-    return [
-        (halves[2 * i] + w[2]["bias"].astype(dtype),
-         halves[2 * i + 1] + w[3]["bias"].astype(dtype))
-        for i, w in enumerate(weights)
-    ]
+    out = []
+    for i, w in enumerate(weights):
+        b_s = jnp.concatenate([w[2]["bias"].astype(dtype),
+                               w[3]["bias"].astype(dtype)])
+        if alphas is not None:
+            bias = avs[i] * b_s + (1.0 - avs[i]) * o_biases[i].astype(dtype)
+        else:
+            bias = b_s
+        out.append((halves[2 * i] + bias[:c], halves[2 * i + 1] + bias[c:]))
+    return out
 
 
 def pallas_o_branch(weights, depth_map, dtype):

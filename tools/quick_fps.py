@@ -1,0 +1,75 @@
+"""One-config flagship fps measurement (dev tool).
+
+Reads DepthNet overrides from the NET_KW env var (JSON) and prints one JSON
+line with fps/chip for the ×8 bs8 serving shape — the fast A/B loop behind
+the knob defaults in endosr/nn/depthnet.py. Same chained-difference-quotient
+methodology as bench.py (see its docstring), without the quality cert.
+
+Usage: NET_KW='{"pallas_tail": true}' python tools/quick_fps.py [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    from endosr.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.nn.depthnet import DepthNet
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    lr = int(os.environ.get("LR_SIZE", "128"))
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.random((batch, lr, lr, 3), dtype=np.float32))
+    depth = jnp.asarray(rng.random((batch, lr, lr, 1), dtype=np.float32))
+    masks_np = np.zeros((batch, lr, lr, 10), np.float32)
+    bins = rng.integers(0, 10, (batch, lr, lr))
+    for k in range(10):
+        masks_np[..., k] = bins == k
+    masks = jnp.asarray(masks_np)
+
+    extra = json.loads(os.environ.get("NET_KW", "{}"))
+    net = DepthNet(dtype=jnp.bfloat16, which_resblk_depth=tuple(range(14)),
+                   scale=int(os.environ.get("SCALE", "8")),
+                   depth_latent_ch=256, depth_range_num=10, **extra)
+    params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
+
+    @jax.jit
+    def step(params, lq, depth, masks, acc):
+        out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
+        return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
+
+    def run(n):
+        acc = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, acc = step(params, lq, depth, masks, acc)
+        v = jax.device_get(acc)
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
+
+    run(2)
+    n1, n2 = 5, 45 if batch <= 8 else 25
+    t1 = min(run(n1) for _ in range(3))
+    t2 = min(run(n2) for _ in range(3))
+    per_step = (t2 - t1) / (n2 - n1)
+    print(json.dumps({"batch": batch, "net_kw": extra,
+                      "fps_per_chip": round(batch / per_step, 2),
+                      "ms": round(per_step * 1e3, 3)}))
+
+
+if __name__ == "__main__":
+    main()
