@@ -1,0 +1,111 @@
+"""Pallas style-map dot emitting conv-layout bytes (TPU).
+
+The lazy SEAN depth-matrix branch evaluates, per group of trunk blocks, one
+batched matmul ``y[b,h,w,m] = Σ_j shifted[b,h,w,j] · v[b,j,m]`` (see
+``endosr/nn/sean.py::style_chunk_dot``; reference math being factored:
+``codes/models/modules/normalization.py:80-85``). XLA lowers this as a
+base-dilated convolution whose output comes out row-major ({3,2,1,0}) and
+then pays a full relayout copy to the conv activation layout ({3,0,2,1})
+its consumers need — measured 0.82 ms per group output ([8,128,128,1024]
+bf16), 2.45 ms/step total at the ×8 flagship shape, ~10× its bandwidth
+roofline.
+
+This kernel removes the copy by construction: it emits the LOGICAL shape
+[H, W, B, M] in Pallas's default {3,2,1,0} layout, whose physical bytes —
+(h, w, (b-sublane, m-lane) tiles) — are exactly the conv layout of the
+[B, H, W, M] tensor. The caller transposes back with ``jnp.transpose(y,
+(2, 0, 1, 3))``, which XLA's layout assignment turns into a pure bitcast
+(verified in compiled HLO: the consumer reads a ``bitcast_*_fusion``, no
+copy). Per-instance bias adds and the α blend stay outside, fusing into
+the block epilogues as before.
+
+Gradients flow through the jnp twin's VJP (dots only — the forward is not
+recomputed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["style_dot_hwbm", "style_dot_reference", "style_dot_supported"]
+
+TH = 8  # rows per program
+
+
+def style_dot_reference(shifted, v):
+    """jnp twin: [B,H,W,J]×[B,J,M] → [H,W,B,M] (einsum + transpose)."""
+    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
+    return jnp.transpose(y, (1, 2, 0, 3))
+
+
+def style_dot_supported(shape, m) -> bool:
+    b, h, w, j = shape
+    return h % TH == 0 and m % 128 == 0 and w % 8 == 0
+
+
+def _kernel(s_ref, v_ref, o_ref):
+    b, th, w = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
+    mblk = v_ref.shape[2]
+    for bb in range(b):
+        flat = s_ref[bb].reshape(th * w, s_ref.shape[3])
+        y = jax.lax.dot_general(
+            flat, v_ref[bb],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+        o_ref[:, :, bb, :] = y.reshape(th, w, mblk)
+
+
+@jax.custom_vjp
+def style_dot_hwbm(shifted, v):
+    """[B,H,W,J] × [B,J,M] → [H,W,B,M]; transpose back is a free bitcast.
+
+    Uses the Pallas kernel on TPU for supported shapes, the jnp twin
+    otherwise.
+    """
+    return _forward(shifted, v)
+
+
+def _forward(shifted, v, interpret=False):
+    b, h, w, j = shifted.shape
+    m = v.shape[2]
+    if not interpret and (jax.default_backend() != "tpu"
+                          or not style_dot_supported(shifted.shape, m)):
+        return style_dot_reference(shifted, v)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    mblk = 256 if m % 256 == 0 else 128
+    return pl.pallas_call(
+        _kernel,
+        grid=(h // TH, m // mblk),
+        in_specs=[
+            pl.BlockSpec((b, TH, w, j), lambda hh, mm: (0, hh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, j, mblk), lambda hh, mm: (0, 0, mm),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TH, w, b, mblk),
+                               lambda hh, mm: (hh, 0, 0, mm),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, b, m), shifted.dtype),
+        interpret=interpret,
+    )(shifted, v)
+
+
+def _fwd(shifted, v):
+    return _forward(shifted, v), (shifted, v)
+
+
+def _bwd(res, g):
+    shifted, v = res
+    gt = jnp.transpose(g, (2, 0, 1, 3))  # [B,H,W,M]
+    gs = jnp.einsum("bhwm,bjm->bhwj", gt, v).astype(shifted.dtype)
+    gv = jnp.einsum("bhwj,bhwm->bjm", shifted, gt).astype(v.dtype)
+    return gs, gv
+
+
+style_dot_hwbm.defvjp(_fwd, _bwd)

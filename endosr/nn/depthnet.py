@@ -405,6 +405,14 @@ class DepthNet(nn.Module):
     # ~24 MB ``shifted`` mask stack is read once per group instead of once
     # per SEAN instance. 1 = per-block dots.
     style_chunk: int = 4
+    # Pallas style-map dot (lazy mode): the group style matmul emits
+    # [H,W,B,M]-logical output whose bytes ARE the conv activation layout,
+    # so the relayout copy XLA's dot lowering pays (0.82 ms per group
+    # output at the ×8 flagship shape, 2.45 ms/step) disappears — the
+    # transpose back is a verified bitcast. Exact math; gradient-capable
+    # (endosr/kernels/style_dot.py). "auto" = on for TPU-supported shapes
+    # (the kernel self-falls-back to the einsum twin elsewhere).
+    pallas_style: Any = "auto"
     # Blend-fold (lazy mode): reassociate SEAN's α blend
     #   γ = α·γ_s + (1−α)·γ_o
     # into the branch producers — the style dot's v is α-scaled, the
@@ -719,9 +727,13 @@ class DepthNet(nn.Module):
                     a_list += blocks[i].blend_alphas()
                     dbw = blocks[i].depth_branch_weights()
                     ob_list += [dbw[0][2], dbw[1][2]]
-            outs = style_chunk_dot(sh, v_list, w_list, mod_dt,
-                                   alphas=a_list if blend else None,
-                                   o_biases=ob_list if blend else None)
+            outs = style_chunk_dot(
+                sh, v_list, w_list, mod_dt,
+                alphas=a_list if blend else None,
+                o_biases=ob_list if blend else None,
+                use_pallas=(self.pallas_style
+                            if isinstance(self.pallas_style, bool)
+                            else True))
             for idx, i in enumerate(ids):
                 sb_map[i] = (outs[2 * idx], outs[2 * idx + 1])
 

@@ -244,7 +244,7 @@ def style_from_shifted(shifted, v_i, weight, dtype):
 
 
 def style_chunk_dot(shifted, v_list, weights, dtype, alphas=None,
-                    o_biases=None):
+                    o_biases=None, use_pallas=False):
     """One batched style matmul for a GROUP of SEAN instances.
 
     ``v_list``: per-instance [B,9K,2C] kernels (from
@@ -267,7 +267,15 @@ def style_chunk_dot(shifted, v_list, weights, dtype, alphas=None,
         avs = [alpha_vec(a, c, v.dtype) for a, v in zip(alphas, v_list)]
         v_list = [v * av[None, None, :] for v, av in zip(v_list, avs)]
     v = jnp.concatenate(v_list, axis=-1)  # [B, 9K, G·2C]
-    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
+    if use_pallas:
+        # conv-layout-emitting kernel: the transpose back is a bitcast
+        # (see endosr/kernels/style_dot.py — kills the 0.8 ms/group
+        # relayout copy XLA's dot lowering pays)
+        from endosr.kernels.style_dot import style_dot_hwbm
+
+        y = jnp.transpose(style_dot_hwbm(shifted, v), (2, 0, 1, 3))
+    else:
+        y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
     halves = _split_channels(y, 2 * len(weights), c)
     out = []
     for i, w in enumerate(weights):
