@@ -34,6 +34,16 @@ __all__ = ["style_dot_hwbm", "style_dot_reference", "style_dot_supported"]
 
 TH = 8  # rows per program
 
+# Kernel body strategy: "loop" = per-batch-item dot + sublane-masked store
+# (measured 890 µs/call at [8,128,128,90]×[8,90,1024] — 27% of the write
+# roofline; the masked stores serialize); "batched" = one batched dot +
+# in-VMEM [B,TH,W,M]→[TH,W,B,M] transpose (8×8 sublane-block shuffles).
+# Selected by tools/exp_styledot.py measurements; ENDOSR_STYLE_BODY
+# overrides for A/B runs.
+import os as _os
+
+BODY = _os.environ.get("ENDOSR_STYLE_BODY", "loop")
+
 
 def style_dot_reference(shifted, v):
     """jnp twin: [B,H,W,J]×[B,J,M] → [H,W,B,M] (einsum + transpose)."""
@@ -49,6 +59,15 @@ def style_dot_supported(shape, m) -> bool:
 def _kernel(s_ref, v_ref, o_ref):
     b, th, w = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
     mblk = v_ref.shape[2]
+    if BODY == "batched":
+        y = jax.lax.dot_general(
+            s_ref[...].reshape(b, th * w, s_ref.shape[3]), v_ref[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] = jnp.transpose(
+            y.reshape(b, th, w, mblk).astype(o_ref.dtype), (1, 2, 0, 3))
+        return
     for bb in range(b):
         flat = s_ref[bb].reshape(th * w, s_ref.shape[3])
         y = jax.lax.dot_general(
