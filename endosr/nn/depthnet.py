@@ -475,6 +475,14 @@ class DepthNet(nn.Module):
     # (34.1 vs 33.9 ms). Default False; True/"auto" enable on TPU when
     # the packed ×8 tail shape qualifies.
     pallas_tail: Any = False
+    # Tap-stacked head conv (endosr/kernels/head_dot.py): the folded ×8
+    # head conv alone (pre64 producer) as a Pallas kernel — all nine taps
+    # stacked on the lane axis (576/640 utilization vs XLA's 64/128) from
+    # an HWNC-emitted g4 (no retile in, none out: pre64 lands in the v3
+    # output stage's native layout). "auto" = on when the ×8 packed-tail
+    # + v3-output-stage shape qualifies; ignored when pallas_tail forces
+    # the fully fused kernel.
+    pallas_head: Any = "auto"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -1033,8 +1041,26 @@ class DepthNet(nn.Module):
             if not use_fused:
                 padw = 0
 
+        # Tap-stacked head kernel (endosr/kernels/head_dot.py): like the
+        # fused tail it reads an HWNC-emitted g4, but hands pre64 to the
+        # v3 output stage in its native layout instead of interleaving
+        # in-kernel — the XLA head conv is output-lane-bound (64/128).
+        use_head = False
+        if (not use_fused and rt == 4 and self.out_nc == 3
+                and (self.pallas_head
+                     if isinstance(self.pallas_head, bool) else True)):
+            from endosr.kernels.head_dot import head_dot_supported
+            from endosr.kernels.output_stage import output_stage_x8_supported
+
+            hpadw = (-(n + 1)) % 8
+            use_head = (head_dot_supported(
+                (n + 1, n + 1 + hpadw, z.shape[0], 4 * 32 * fs * fs), 64)
+                and output_stage_x8_supported((z.shape[0], n, n, 64)))
+            if use_head:
+                padw = hpadw
+
         c30 = packed_stage_kernel(w30, 1, 0)
-        if use_fused:
+        if use_fused or use_head:
             # emit the conv in HWNC logical order: its physical bytes equal
             # the NHWC conv's natural {3,0,2,1} layout, so the fused kernel
             # reads it with zero relayout (a post-hoc transpose measured
@@ -1074,6 +1100,18 @@ class DepthNet(nn.Module):
             flat = fused_tail(g4, wh[:, :, perm, :].astype(dt),
                               bh.astype(jnp.float32),
                               self.clamp_min, self.clamp_max, "hwbc")
+            return flat.reshape(
+                flat.shape[0], flat.shape[1], -1, self.out_nc)
+        if use_head:
+            from endosr.kernels.head_dot import head_dot
+            from endosr.kernels.output_stage import (
+                embed_head_channels,
+                output_stage_x8,
+            )
+
+            w64, b64 = embed_head_channels(wh[:, :, perm, :], bh)
+            pre64 = head_dot(g4, w64.astype(dt), b64)
+            flat = output_stage_x8(pre64, self.clamp_min, self.clamp_max)
             return flat.reshape(
                 flat.shape[0], flat.shape[1], -1, self.out_nc)
         use_pallas = (self.pallas_output

@@ -160,3 +160,39 @@ def test_style_dot_hwbm_kernel():
         # dot-vs-einsum accumulation order: rel ~5e-7 on O(1e4) values
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=5e-2)
+
+
+def test_head_dot_kernel():
+    """Tap-stacked head conv (endosr/kernels/head_dot.py): interpret-mode
+    parity with the conv twin (incl. the zero-gated edge row/col and pad
+    columns) + VJP through the twin."""
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.kernels.head_dot import (
+        _forward,
+        head_dot,
+        head_dot_reference,
+    )
+
+    Hp, Wc, B, C4, COUT = 33, 40, 2, 256, 64
+    g4 = RNG.standard_normal((Hp, Wc, B, C4)).astype(np.float32) * 0.1
+    g4[Hp - 1:, :, :, :] = 0
+    g4[:, Hp - 1:, :, :] = 0
+    g4 = jnp.asarray(g4)
+    w64 = jnp.asarray(
+        RNG.standard_normal((3, 3, C4, COUT)).astype(np.float32) * 0.05)
+    b64 = jnp.asarray(
+        RNG.standard_normal((COUT,)).astype(np.float32) * 0.1)
+    want = np.asarray(head_dot_reference(g4, w64, b64))
+    got = np.asarray(_forward(g4, w64, b64, interpret=True))
+    # tap-split accumulation reassociates the conv's f32 reduction
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    g0 = jax.grad(lambda a, w, b: jnp.sum(head_dot(a, w, b) ** 2),
+                  argnums=(0, 1, 2))(g4, w64, b64)
+    g1 = jax.grad(
+        lambda a, w, b: jnp.sum(head_dot_reference(a, w, b) ** 2),
+        argnums=(0, 1, 2))(g4, w64, b64)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-4)
