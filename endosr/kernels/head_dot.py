@@ -210,6 +210,9 @@ def _forward(g4_hwbc, w64, b64, interpret=False):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # double-buffered halo scratch (9.7 MB) + per-row f32 tap
+            # slabs (~11 MB) exceed the 16 MB scoped-VMEM default
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(flat, wf, b64.reshape(1, cout).astype(jnp.float32))

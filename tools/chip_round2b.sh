@@ -55,3 +55,12 @@ echo DONE >> "$OUT/log.txt"
 
 # 6) optimized HLO dump for offline fusion analysis (compile is cached)
 step hlo_dump 900 python tools/dump_hlo.py /tmp/chip_session/r2b/flagship_x8.hlo 8
+
+# 7) head-kernel A/B in the full model (pallas_head landed after launch)
+step qf_head_off  1200 env NET_KW='{"pallas_head": false}' python tools/quick_fps.py 8
+step qf_head_on   1200 python tools/quick_fps.py 8
+step qf_h_bs16    1500 python tools/quick_fps.py 16
+
+# 8) the north-star bench with whatever defaults are in by now
+step bench_final  1800 python bench.py
+echo ALLDONE >> "$OUT/log.txt"

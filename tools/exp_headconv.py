@@ -100,7 +100,7 @@ def main():
 
     @jax.jit
     def step(x, acc):
-        y = f(x + acc * 0.0)
+        y = f(x + (acc * 0).astype(x.dtype))
         return acc + jnp.sum(y[:, ::64, ::64].astype(jnp.float32)) * 1e-12
 
     t0 = time.time()

@@ -108,7 +108,7 @@ def main():
 
     @jax.jit
     def step(a, b, acc):
-        o = fn(a + acc * 0.0, b)
+        o = fn(a + (acc * 0).astype(a.dtype), b)
         return acc + jnp.sum(o[::64, ::64].astype(jnp.float32)) * 1e-12
 
     acc = jnp.float32(0.0)
