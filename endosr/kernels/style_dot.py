@@ -37,12 +37,12 @@ TH = 8  # rows per program
 # Kernel body strategy: "loop" = per-batch-item dot + sublane-masked store
 # (measured 890 µs/call at [8,128,128,90]×[8,90,1024] — 27% of the write
 # roofline; the masked stores serialize); "batched" = one batched dot +
-# in-VMEM [B,TH,W,M]→[TH,W,B,M] transpose (8×8 sublane-block shuffles).
-# Selected by tools/exp_styledot.py measurements; ENDOSR_STYLE_BODY
-# overrides for A/B runs.
+# in-VMEM [B,TH,W,M]→[TH,W,B,M] transpose (8×8 sublane-block shuffles),
+# measured 567 µs/call at the same shape with MBLK=512
+# (tools/exp_styledot.py, v5e). ENDOSR_STYLE_BODY overrides for A/B runs.
 import os as _os
 
-BODY = _os.environ.get("ENDOSR_STYLE_BODY", "loop")
+BODY = _os.environ.get("ENDOSR_STYLE_BODY", "batched")
 
 
 def style_dot_reference(shifted, v):
@@ -97,7 +97,12 @@ def _forward(shifted, v, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    mblk = 256 if m % 256 == 0 else 128
+    if BODY == "batched":
+        # measured: 0.567 ms at MBLK=512 (wider blocks amortize the
+        # in-VMEM transpose)
+        mblk = 512 if m % 512 == 0 else (256 if m % 256 == 0 else 128)
+    else:
+        mblk = 256 if m % 256 == 0 else 128
     return pl.pallas_call(
         _kernel,
         grid=(h // TH, m // mblk),
@@ -111,6 +116,11 @@ def _forward(shifted, v, interpret=False):
                                lambda hh, mm: (hh, 0, 0, mm),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w, b, m), shifted.dtype),
+        # the batched body's f32 dot result + transpose temp exceed the
+        # 16 MB scoped-VMEM default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(shifted, v)
 

@@ -65,6 +65,9 @@ def make_kernel(variant, B, H, W, J, M, TH, MBLK):
                                lambda hh, mm: (hh, 0, 0, mm),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W, B, M), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )
 
 
