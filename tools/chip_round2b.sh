@@ -64,3 +64,8 @@ step qf_h_bs16    1500 python tools/quick_fps.py 16
 # 8) the north-star bench with whatever defaults are in by now
 step bench_final  1800 python bench.py
 echo ALLDONE >> "$OUT/log.txt"
+
+# 9) training MFU + per-scale ladder with the round-2 kernels in
+step bench_train  1800 python tools/bench_train.py
+step bench_scales 3600 python tools/bench_scales.py
+echo FULLYDONE >> "$OUT/log.txt"
