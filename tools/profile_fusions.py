@@ -5,7 +5,12 @@ the axon tunnel) and aggregates on-device op durations from the captured
 .trace.json.gz, printing the top fusions by total time. This is the ground
 truth the isolated-op breakdown (bench_breakdown.py) approximates.
 
-Usage: python tools/profile_fusions.py [N_iters]
+Envelope events (the jit_step region itself) are excluded from the
+totals so percentages are over real op time; a category rollup over ALL
+ops (convolution / copy / custom-call / elementwise fusion / other)
+quantifies the tail that the top-N table truncates.
+
+Usage: python tools/profile_fusions.py [N_iters] [TOP_N]
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     import jax
     import jax.numpy as jnp
 
@@ -129,19 +135,49 @@ def main():
                 return root[:240]
         return d.split(", metadata=")[0][:240]
 
+    # drop envelope events (the jit region itself) so totals are real op
+    # time, not region + ops double-counted
+    env = {n for n in durs if n.startswith("jit_") or n.startswith("pjit")}
+    envelope = max((durs[n] / n_iters for n in env), default=0.0)
+    for n in env:
+        durs.pop(n), cnts.pop(n)
+
+    def category(name: str) -> str:
+        d = defs.get(name, "")
+        if "custom-call" in d or "custom-call" in describe(name):
+            return "custom-call (pallas)"
+        if name.startswith("copy") or " copy(" in d:
+            return "copy/relayout"
+        if "convolution" in d or "convolution" in describe(name) \
+                or name.startswith("conv"):
+            return "convolution"
+        if name.startswith(("fusion", "add", "multiply", "maximum", "select",
+                            "convert", "reduce", "subtract", "divide",
+                            "broadcast", "concatenate", "slice", "bitcast",
+                            "transpose", "pad", "tuple", "rsqrt", "exp")):
+            return "elementwise/fusion"
+        return "other"
+
     total = sum(durs.values())
+    cats = defaultdict(float)
+    for n, d in durs.items():
+        cats[category(n)] += d
     rows = sorted(durs.items(), key=lambda kv: -kv[1])
     print(f"{'us/iter':>10} {'%':>6} {'count':>6}  op")
     shown = 0.0
-    for name, d in rows[:40]:
+    for name, d in rows[:top_n]:
         print(f"{d / n_iters:10.1f} {100 * d / total:6.2f} "
               f"{cnts[name]:6d}  {name[:110]}")
         desc = describe(name)
         if desc:
             print(f"{'':24}↳ {desc}")
         shown += d
-    print(f"total device us/iter: {total / n_iters:.1f} "
-          f"(top-40 covers {100 * shown / total:.1f}%)")
+    print(f"total device op us/iter: {total / n_iters:.1f} "
+          f"(envelope {envelope:.1f}; top-{top_n} covers "
+          f"{100 * shown / total:.1f}%)")
+    print("category rollup (all ops):")
+    for c, d in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {d / n_iters:10.1f} us/iter {100 * d / total:6.2f}%  {c}")
 
 
 if __name__ == "__main__":
