@@ -8,21 +8,40 @@ runs in XLA at exactly its output-lane roofline: 64 of 128 MXU lanes →
 relayout copy to hand the result to the output-stage kernel.
 
 This kernel restores full lanes by stacking all nine taps on the lane
-axis: one [rows, 512] × [512, 9·64] matmul per halo strip (576/640 =
+axis: one [rows·B, 512] × [512, 9·64] matmul per halo strip (576/640 =
 90 % lane utilization after tile padding), then a cheap in-VMEM
-shift-add combines the taps (dy via row-slab offsets, dx via sublane
-shifts). Per (batch, row-block) program:
+shift-add combines the taps (dy via row-slab offsets, dx via row-dim
+shifts).
 
-* DMA a (TH+2)-row halo strip of ONE batch item from the HWBC-flattened
-  g4 (the producer emits the conv with an ``HWNC`` output spec — its
-  physical bytes are the conv-natural layout, so this costs nothing) —
+Input contract — the producer conv emits ``HWNC`` logical order
+(``g4 [Hp, Wc, B, C4]``). Its default {3,2,1,0} layout IS the conv's
+natural byte order on TPU (H, W, B, C with (B, C) tiled), so XLA fuses
+bias+leaky_relu into the conv epilogue and hands the bytes over with
+zero relayout. Three round-1/2 versions paid real costs here: flattening
+to [Hp,Wc,B·C4] retiled sublanes B→W (2.07 ms at the flagship shape), a
+batch-merged [1,B·Hp,·,·] producer conv slowed XLA's conv strategy by
+8 ms, and an HNWC emission moved the same retile into a 1.65 ms
+lrelu+copy fusion. Per-batch strips can't be DMA'd from these bytes
+(B is the sublane dim), so each program processes ALL batches: strips
+slice only the untiled H dim. The s=0 packed gate (row n and column n
+dead, ``layers.packed_gate``) is applied in-kernel — the full-tensor
+gating multiply it replaces measured 1.51 ms.
+
+Per row-block program:
+
+* DMA the (TH+2)-row all-batch halo strip ``g4[y0-1 : y0+TH+1]`` —
   double-buffered: program i starts program i+1's strip before
   computing, hiding the HBM read under the MXU.
 * the strip's top row is zeroed for the first block (the conv's
-  pad=(1,0)); g4's zero-gated row/column 256 supplies the other edges.
-* output block [1, TH, 256, 64] of a logical [B,256,256,64] tensor in
-  Pallas's default {3,2,1,0} layout — exactly the operand layout
-  ``output_stage_x8`` constrains, so the hand-off is copy-free.
+  pad=(1,0)); the last block zeroes its bottom halo row (packed dead
+  row n); dead column n is masked out of the dx=2 tap.
+* tap dots run as [Wc·B, C4] × [C4, 9·cout] (B rides the sublane dim
+  through the matmul); slabs are produced in a rolling 3-row window to
+  bound VMEM.
+* output rows are written batch-major: pre64 is [Hp-1, B, Hp-1, cout]
+  (HBWC) — H and B are untiled there, so ``output_stage_x8`` consumes
+  it with plain BlockSpec slices (``order="hbwc"``); the [W,B]→[B,W]
+  swap happens once in-VMEM on the bf16 row.
 
 Gradients flow through the jnp twin's VJP. Falls back to the twin
 off-TPU / on unsupported shapes.
@@ -34,17 +53,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 __all__ = ["head_dot", "head_dot_reference", "head_dot_supported",
            "stack_head_taps"]
 
-TH = 16  # output rows per program
+TH = 8  # output rows per program
 
 
 def head_dot_supported(g4_shape, cout) -> bool:
-    """g4 is [Hp, Wc, B, C4] (HWNC logical). Wc may carry zero-gated pad
-    columns; the head window never reads past column Hp-1."""
+    """g4 is [Hp, Wc, B, C4] (HWNC logical). Wc may carry pad columns;
+    row n, column n and the pads are dead slots, gated in-kernel (the
+    packed s=0 gate)."""
     hp, wc, b, c4 = g4_shape
     w = hp - 1
     # w >= 2·TH: a single-block grid's halo strip (TH+2 rows) would not
@@ -59,62 +78,60 @@ def stack_head_taps(w64):
     return jnp.transpose(w64, (2, 0, 1, 3)).reshape(c4, 9 * cout)
 
 
-def head_dot_reference(g4_hwbc, w64, b64):
-    """jnp twin: conv(pad (1,0)) + bias on the BHWC view, BHWC output."""
-    g4 = jnp.transpose(g4_hwbc, (2, 0, 1, 3))
-    w = g4.shape[1] - 1
+def head_dot_reference(g4_hwnc, w64, b64):
+    """jnp twin: apply the s=0 edge gate (row/col ≥ n dead), conv
+    (pad (1,0)) + bias on the BHWC view, HBWC output."""
+    g4 = jnp.transpose(g4_hwnc, (2, 0, 1, 3))
+    hp, wc = g4.shape[1], g4.shape[2]
+    w = hp - 1
+    mr = (jnp.arange(hp) < w).astype(g4.dtype)
+    mc = (jnp.arange(wc) < w).astype(g4.dtype)
+    g4 = g4 * mr[None, :, None, None] * mc[None, None, :, None]
     pre = jax.lax.conv_general_dilated(
         g4, w64.astype(g4.dtype), (1, 1), [(1, 0), (1, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )[:, :, :w] + b64.astype(g4.dtype)
-    return pre
+    return jnp.transpose(pre, (1, 0, 2, 3))
 
 
 def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
-            hp, wc, c4, cout, nblk):
+            hp, wc, b, c4, cout, nblk):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     w = hp - 1
-    bb = pl.program_id(0)
-    tt = pl.program_id(1)
-    nb = pl.num_programs(0)
+    tt = pl.program_id(0)
 
-    def start(step, slot):
-        """DMA the halo strip for flat program index ``step`` into ``slot``.
+    def start(st, slot):
+        """DMA the all-batch halo strip for row-block ``st`` into ``slot``.
 
-        Strips are [y0-1, y0+TH+1) ∩ [0, hp); the first block's missing
-        top row is DMA'd one short and zeroed in compute.
+        Strips are ``g4[y0-1 : y0+TH+1]``; the first block's missing top
+        row is DMA'd one short and zeroed in compute.
         """
-        # clamped like y1 below: the final start(step+1) call traces its
-        # (guarded-off) copy with step == nb·nblk
-        sb = jnp.minimum(step // nblk, nb - 1)
-        st = step % nblk
         # y0-1 clamped: pl.when traces both branches, and the first block's
         # (unused) body branch would otherwise slice at a static -1
         y1 = jnp.maximum(st * TH - 1, 0)
         first = st == 0
 
-        @pl.when(jnp.logical_and(step < nb * nblk, first))
+        @pl.when(jnp.logical_and(st < nblk, first))
         def _first():
             pltpu.make_async_copy(
-                g4_hbm.at[pl.ds(0, TH + 1), :, pl.ds(sb * c4, c4)],
+                g4_hbm.at[pl.ds(0, TH + 1)],
                 scratch.at[slot, pl.ds(1, TH + 1)], sems.at[slot]).start()
 
-        @pl.when(jnp.logical_and(step < nb * nblk, jnp.logical_not(first)))
+        @pl.when(jnp.logical_and(st < nblk, jnp.logical_not(first)))
         def _body():
             pltpu.make_async_copy(
-                g4_hbm.at[pl.ds(y1, TH + 2), :, pl.ds(sb * c4, c4)],
+                g4_hbm.at[pl.ds(y1, TH + 2)],
                 scratch.at[slot], sems.at[slot]).start()
 
-    step = bb * nblk + tt
-    slot = step % 2
+    slot = tt % 2
 
-    @pl.when(step == 0)
+    @pl.when(tt == 0)
     def _prologue():
         start(0, 0)
 
-    start(step + 1, (step + 1) % 2)
+    start(tt + 1, (tt + 1) % 2)
 
     def wait(slot_, st):
         first = st == 0
@@ -122,110 +139,127 @@ def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
         @pl.when(first)
         def _wf():
             pltpu.make_async_copy(
-                g4_hbm.at[pl.ds(0, TH + 1), :, pl.ds(0, c4)],
+                g4_hbm.at[pl.ds(0, TH + 1)],
                 scratch.at[slot_, pl.ds(1, TH + 1)], sems.at[slot_]).wait()
 
         @pl.when(jnp.logical_not(first))
         def _wb():
             pltpu.make_async_copy(
-                g4_hbm.at[pl.ds(0, TH + 2), :, pl.ds(0, c4)],
+                g4_hbm.at[pl.ds(0, TH + 2)],
                 scratch.at[slot_], sems.at[slot_]).wait()
 
     wait(slot, tt)
 
-    strip = scratch[slot]                       # [TH+2, Wc, C4]
+    strip = scratch[slot]                       # [TH+2, Wc, B, C4]
     # first block: the DMA left row 0 untouched (uninitialized) — select,
-    # don't scale (NaN·0 = NaN)
+    # don't scale (NaN·0 = NaN). Last block: its bottom halo row is the
+    # packed grid's dead row n (holds leaky_relu(conv) of out-of-range
+    # slots) — gate it. Both are the s=0 packed row gate, applied here
+    # instead of as an XLA multiply on the full tensor.
     top = jnp.where(tt == 0, jnp.zeros_like(strip[0]), strip[0])
-    strip = jnp.concatenate([top[None], strip[1:]], axis=0)
+    bot = jnp.where(tt == nblk - 1, jnp.zeros_like(strip[TH + 1]),
+                    strip[TH + 1])
+    strip = jnp.concatenate([top[None], strip[1:TH + 1], bot[None]], axis=0)
 
-    # one tap-stacked matmul per strip row (Mosaic keeps row dots cheap;
-    # a merged [rows·Wc, C4] dot would need a 3D re-split it can't do)
     wf = wf_ref[...]
-    p = [jax.lax.dot_general(
-        strip[r], wf,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) for r in range(TH + 2)]
 
-    bias = b_ref[...].astype(jnp.float32)
-    zrow = jnp.zeros((1, cout), jnp.float32)
-    rows = []
+    def dot_row(r):
+        # [Wc, B, C4] · [C4, 9·cout] → [Wc, B, 9·cout] f32 — Mosaic runs
+        # this as a [Wc·B, C4] matmul (B is the sublane dim; merging the
+        # leading dims is layout-free)
+        return jax.lax.dot_general(
+            strip[r], wf,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    bias = b_ref[...].astype(jnp.float32)       # [1, cout]
+    zrow = jnp.zeros((1, b, cout), jnp.float32)
+    # dead column n reaches output column w-1 through its dx=2 tap — the
+    # s=0 packed column gate, as one [W,1,1] mask on the f32 tap slab
+    mcol = (jax.lax.broadcasted_iota(jnp.int32, (w, 1, 1), 0)
+            != w - 1).astype(jnp.float32)
+    # rolling 3-slab window: slab y is dead after output row y, keeping
+    # ≤4 of the [Wc, B, 9·cout] f32 slabs (4.9 MB each) live at once
+    p0, p1 = dot_row(0), dot_row(1)
     for y in range(TH):
+        p2 = dot_row(y + 2)
         tdx = []
         for dx in range(3):
-            acc = (p[y][:, dx * cout:(dx + 1) * cout]
-                   + p[y + 1][:, (3 + dx) * cout:(4 + dx) * cout]
-                   + p[y + 2][:, (6 + dx) * cout:(7 + dx) * cout])
+            acc = (p0[:, :, dx * cout:(dx + 1) * cout]
+                   + p1[:, :, (3 + dx) * cout:(4 + dx) * cout]
+                   + p2[:, :, (6 + dx) * cout:(7 + dx) * cout])
             tdx.append(acc)
         pre = (jnp.concatenate([zrow, tdx[0][:w - 1]], axis=0)
-               + tdx[1][:w] + tdx[2][1:w + 1]) + bias
-        rows.append(pre)
-    out_ref[0] = jnp.stack(rows).astype(out_ref.dtype)  # [TH, W, Cout]
+               + tdx[1][:w] + tdx[2][1:w + 1] * mcol) + bias[None]
+        # [W, B, cout] → [B, W, cout]: the only relayout in the chain,
+        # done in-VMEM on the bf16 row (0.26 MB)
+        out_ref[y] = jnp.swapaxes(pre.astype(out_ref.dtype), 0, 1)
+        p0, p1 = p1, p2
 
 
 @jax.custom_vjp
-def head_dot(g4_hwbc, w64, b64):
+def head_dot(g4_hwnc, w64, b64):
     """Folded+embedded head conv from an HWNC-emitted g4.
 
-    g4_hwbc: [Hp, Wc, B, C4] (the packed tensor in conv-natural bytes);
-    w64: [3,3,C4,Cout]; b64: [Cout]. Returns [B, Hp-1, Hp-1, Cout] in the
-    default layout (what ``output_stage_x8`` consumes). Uses the Pallas
-    kernel on TPU for supported shapes, the jnp twin otherwise.
+    g4_hwnc: [Hp, Wc, B, C4] (the packed tensor in conv-natural bytes,
+    UNGATED — the s=0 edge gate is applied inside); w64: [3,3,C4,Cout];
+    b64: [Cout]. Returns [Hp-1, B, Hp-1, Cout] (HBWC — what
+    ``output_stage_x8(order="hbwc")`` consumes with untiled-dim block
+    slices). Uses the Pallas kernel on TPU for supported shapes, the jnp
+    twin otherwise.
     """
-    return _forward(g4_hwbc, w64, b64)
+    return _forward(g4_hwnc, w64, b64)
 
 
-def _forward(g4_hwbc, w64, b64, interpret=False):
-    hp, wc, b, c4 = g4_hwbc.shape
+def _forward(g4_hwnc, w64, b64, interpret=False):
+    hp, wc, b, c4 = g4_hwnc.shape
     cout = w64.shape[3]
     if not interpret and (jax.default_backend() != "tpu"
-                          or not head_dot_supported(g4_hwbc.shape, cout)):
-        return head_dot_reference(g4_hwbc, w64, b64)
+                          or not head_dot_supported(g4_hwnc.shape, cout)):
+        return head_dot_reference(g4_hwnc, w64, b64)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     w = hp - 1
     nblk = w // TH
-    flat = g4_hwbc.reshape(hp, wc, b * c4)
-    wf = stack_head_taps(w64).astype(g4_hwbc.dtype)
-    grid = (b, nblk)
+    wf = stack_head_taps(w64).astype(g4_hwnc.dtype)
     return pl.pallas_call(
-        functools.partial(_kernel, hp=hp, wc=wc, c4=c4, cout=cout,
+        functools.partial(_kernel, hp=hp, wc=wc, b=b, c4=c4, cout=cout,
                           nblk=nblk),
-        grid=grid,
+        grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((c4, 9 * cout), lambda bb, tt: (0, 0),
+            pl.BlockSpec((c4, 9 * cout), lambda tt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda bb, tt: (0, 0),
+            pl.BlockSpec((1, cout), lambda tt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TH, w, cout), lambda bb, tt: (bb, tt, 0, 0),
+        out_specs=pl.BlockSpec((TH, b, w, cout), lambda tt: (tt, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, w, w, cout), g4_hwbc.dtype),
+        out_shape=jax.ShapeDtypeStruct((w, b, w, cout), g4_hwnc.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2, wc, c4), g4_hwbc.dtype),
+            pltpu.VMEM((2, TH + 2, wc, b, c4), g4_hwnc.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            # double-buffered halo scratch (9.7 MB) + per-row f32 tap
-            # slabs (~11 MB) exceed the 16 MB scoped-VMEM default
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary",),
+            # double-buffered all-batch halo scratch (43 MB at the
+            # flagship shape) + the rolling f32 tap slabs (~20 MB)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(flat, wf, b64.reshape(1, cout).astype(jnp.float32))
+    )(g4_hwnc, wf, b64.reshape(1, cout).astype(jnp.float32))
 
 
-def _fwd(g4_hwbc, w64, b64):
-    return _forward(g4_hwbc, w64, b64), (g4_hwbc, w64, b64)
+def _fwd(g4_hwnc, w64, b64):
+    return _forward(g4_hwnc, w64, b64), (g4_hwnc, w64, b64)
 
 
 def _bwd(res, g):
-    g4_hwbc, w64, b64 = res
+    g4_hwnc, w64, b64 = res
     _, vjp = jax.vjp(lambda a, w, c: head_dot_reference(a, w, c),
-                     g4_hwbc, w64, b64)
+                     g4_hwnc, w64, b64)
     return vjp(g)
 
 

@@ -183,8 +183,11 @@ def embed_head_channels(w, b):
     return wp, bp
 
 
-def output_stage_x8_reference(pre64, clamp_min=0.0, clamp_max=1.0):
+def output_stage_x8_reference(pre64, clamp_min=0.0, clamp_max=1.0,
+                              order="bhwc"):
     """jnp twin of :func:`output_stage_x8` (un-embeds, then v2 reference)."""
+    if order == "hbwc":
+        pre64 = jnp.transpose(pre64, (1, 0, 2, 3))
     m = np.arange(48)
     i, j, c = m // 12, (m % 12) // 3, m % 3
     # canonical channel c·16+i·4+j ← embedded slot i·16+(j·3+c)
@@ -194,8 +197,11 @@ def output_stage_x8_reference(pre64, clamp_min=0.0, clamp_max=1.0):
                                   clamp_min, clamp_max)
 
 
-def output_stage_x8_supported(shape) -> bool:
-    b, h, w, c64 = shape
+def output_stage_x8_supported(shape, order="bhwc") -> bool:
+    if order == "hbwc":
+        h, b, w, c64 = shape
+    else:
+        b, h, w, c64 = shape
     return c64 == 64 and h % TH == 0 and w % _V3_XC == 0
 
 
@@ -215,9 +221,12 @@ def _v3_lane_mask():
     return jnp.asarray(m, jnp.float32)
 
 
-def _kernel_v3(pre_ref, sc_ref, m_ref, out_ref, *, clamp_min, clamp_max):
-    th, w = pre_ref.shape[1], pre_ref.shape[2]
-    tile = jnp.clip(pre_ref[0], clamp_min, clamp_max)       # [TH, W, 64]
+def _kernel_v3(pre_ref, sc_ref, m_ref, out_ref, *, clamp_min, clamp_max,
+               hbwc=False):
+    # bhwc blocks are [1, TH, W, 64]; hbwc blocks [TH, 1, W, 64]
+    tile = pre_ref[:, 0] if hbwc else pre_ref[0]
+    th, w = tile.shape[0], tile.shape[1]
+    tile = jnp.clip(tile, clamp_min, clamp_max)             # [TH, W, 64]
     ct = jnp.swapaxes(tile, 1, 2).reshape(th * 64, w)       # rows (y,i,m')
     sc = sc_ref[...]
     lm = m_ref[...]
@@ -234,32 +243,41 @@ def _kernel_v3(pre_ref, sc_ref, m_ref, out_ref, *, clamp_min, clamp_max):
         out_ref[0, :, k * _V3_XC * _V3_RC:(k + 1) * _V3_XC * _V3_RC] = r
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def output_stage_x8(pre64, clamp_min=0.0, clamp_max=1.0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def output_stage_x8(pre64, clamp_min=0.0, clamp_max=1.0, order="bhwc"):
     """clip→PS(4)→fp32 from an embedded-channel head ([B,H,W,64] via
-    :func:`embed_head_channels`) → [B,H·4,W·12] dense fp32 rows.
+    :func:`embed_head_channels`; ``order="hbwc"`` accepts the
+    [H,B,W,64] layout ``head_dot`` emits) → [B,H·4,W·12] dense fp32
+    rows.
 
     Falls back to the jnp twin off-TPU / on unsupported shapes. Gradients
     flow through the twin's VJP.
     """
-    return _forward_x8(pre64, clamp_min, clamp_max)
+    return _forward_x8(pre64, clamp_min, clamp_max, order)
 
 
-def _forward_x8(pre64, clamp_min, clamp_max, interpret=False):
+def _forward_x8(pre64, clamp_min, clamp_max, order="bhwc",
+                interpret=False):
+    hbwc = order == "hbwc"
     if not interpret and (jax.default_backend() != "tpu"
-                          or not output_stage_x8_supported(pre64.shape)):
-        return output_stage_x8_reference(pre64, clamp_min, clamp_max)
+                          or not output_stage_x8_supported(pre64.shape,
+                                                           order)):
+        return output_stage_x8_reference(pre64, clamp_min, clamp_max, order)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, w, _ = pre64.shape
+    if hbwc:
+        h, b, w, _ = pre64.shape
+        in_block, in_idx = (TH, 1, w, 64), lambda bb, hh: (hh, bb, 0, 0)
+    else:
+        b, h, w, _ = pre64.shape
+        in_block, in_idx = (1, TH, w, 64), lambda bb, hh: (bb, hh, 0, 0)
     return pl.pallas_call(
         functools.partial(_kernel_v3, clamp_min=clamp_min,
-                          clamp_max=clamp_max),
+                          clamp_max=clamp_max, hbwc=hbwc),
         grid=(b, h // TH),
         in_specs=[
-            pl.BlockSpec((1, TH, w, 64), lambda bb, hh: (bb, hh, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(in_block, in_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((_V3_XC, _V3_XC * _V3_RC), lambda bb, hh: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_V3_CP, _V3_XC * _V3_RC), lambda bb, hh: (0, 0),
@@ -274,13 +292,14 @@ def _forward_x8(pre64, clamp_min, clamp_max, interpret=False):
     )(pre64, _v3_scatter(pre64.dtype), _v3_lane_mask())
 
 
-def _fwd_x8(pre64, clamp_min, clamp_max):
-    return _forward_x8(pre64, clamp_min, clamp_max), pre64
+def _fwd_x8(pre64, clamp_min, clamp_max, order):
+    return _forward_x8(pre64, clamp_min, clamp_max, order), pre64
 
 
-def _bwd_x8(clamp_min, clamp_max, pre64, g):
+def _bwd_x8(clamp_min, clamp_max, order, pre64, g):
     _, vjp = jax.vjp(
-        lambda p: output_stage_x8_reference(p, clamp_min, clamp_max), pre64)
+        lambda p: output_stage_x8_reference(p, clamp_min, clamp_max, order),
+        pre64)
     return vjp(g)
 
 

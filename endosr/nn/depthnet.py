@@ -1041,10 +1041,10 @@ class DepthNet(nn.Module):
             if not use_fused:
                 padw = 0
 
-        # Tap-stacked head kernel (endosr/kernels/head_dot.py): like the
-        # fused tail it reads an HWNC-emitted g4, but hands pre64 to the
-        # v3 output stage in its native layout instead of interleaving
-        # in-kernel — the XLA head conv is output-lane-bound (64/128).
+        # Tap-stacked head kernel (endosr/kernels/head_dot.py): reads an
+        # HNWC-emitted g4 (strips DMA over the untiled H/N dims — zero
+        # relayout) and hands pre64 to the v3 output stage in its native
+        # layout — the XLA head conv is output-lane-bound (64/128).
         use_head = False
         if (not use_fused and rt == 4 and self.out_nc == 3
                 and (self.pallas_head
@@ -1055,12 +1055,26 @@ class DepthNet(nn.Module):
             hpadw = (-(n + 1)) % 8
             use_head = (head_dot_supported(
                 (n + 1, n + 1 + hpadw, z.shape[0], 4 * 32 * fs * fs), 64)
-                and output_stage_x8_supported((z.shape[0], n, n, 64)))
+                and output_stage_x8_supported((n, z.shape[0], n, 64),
+                                              order="hbwc"))
             if use_head:
                 padw = hpadw
 
         c30 = packed_stage_kernel(w30, 1, 0)
-        if use_fused or use_head:
+        if use_head:
+            # HWNC emission (g4 [Hp, Wc, B, C4]): the default {3,2,1,0}
+            # layout on this logical order IS the conv's natural bytes,
+            # so XLA fuses bias+leaky_relu into the conv epilogue and
+            # head_dot reads the tensor with zero relayout. The s=0
+            # packed gate is applied inside the kernel (an XLA gating
+            # multiply here measured 1.51 ms; an HNWC emission moved a
+            # 1.65 ms retile into the lrelu fusion).
+            g4 = leaky_relu(jax.lax.conv_general_dilated(
+                g3.astype(dt), c30.astype(dt), (1, 1),
+                [(0, 1), (0, 1 + padw)],
+                dimension_numbers=("NHWC", "HWIO", "HWNC"),
+            ) + jnp.tile(b30, 4).astype(dt))
+        elif use_fused:
             # emit the conv in HWNC logical order: its physical bytes equal
             # the NHWC conv's natural {3,0,2,1} layout, so the fused kernel
             # reads it with zero relayout (a post-hoc transpose measured
@@ -1110,8 +1124,9 @@ class DepthNet(nn.Module):
             )
 
             w64, b64 = embed_head_channels(wh[:, :, perm, :], bh)
-            pre64 = head_dot(g4, w64.astype(dt), b64)
-            flat = output_stage_x8(pre64, self.clamp_min, self.clamp_max)
+            pre64 = head_dot(g4, w64.astype(dt), b64)   # [H, B, W, 64]
+            flat = output_stage_x8(pre64, self.clamp_min, self.clamp_max,
+                                   order="hbwc")
             return flat.reshape(
                 flat.shape[0], flat.shape[1], -1, self.out_nc)
         use_pallas = (self.pallas_output

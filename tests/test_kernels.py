@@ -133,6 +133,17 @@ def test_output_stage_x8_embed_and_kernel():
     gref = jax.grad(
         lambda p: jnp.sum(output_stage_x8_reference(p) ** 2))(pre64)
     np.testing.assert_array_equal(np.asarray(g), np.asarray(gref))
+    # order="hbwc": the [H,B,W,64] layout head_dot emits
+    pre_h = jnp.transpose(pre64, (1, 0, 2, 3))
+    np.testing.assert_array_equal(
+        np.asarray(output_stage_x8_reference(pre_h, order="hbwc")), want)
+    np.testing.assert_array_equal(
+        np.asarray(_forward_x8(pre_h, 0.0, 1.0, order="hbwc",
+                               interpret=True)), want)
+    gh = jax.grad(
+        lambda p: jnp.sum(output_stage_x8(p, 0.0, 1.0, "hbwc") ** 2))(pre_h)
+    np.testing.assert_array_equal(
+        np.asarray(gh), np.asarray(jnp.transpose(gref, (1, 0, 2, 3))))
 
 
 def test_style_dot_hwbm_kernel():
@@ -164,8 +175,9 @@ def test_style_dot_hwbm_kernel():
 
 def test_head_dot_kernel():
     """Tap-stacked head conv (endosr/kernels/head_dot.py): interpret-mode
-    parity with the conv twin (incl. the zero-gated edge row/col and pad
-    columns) + VJP through the twin."""
+    parity with the conv twin on an HWNC [Hp,Wc,B,C4] input whose dead
+    row/column n and pad columns hold GARBAGE (the s=0 packed gate is
+    applied in-kernel), HBWC output + VJP through the twin."""
     import jax
     import jax.numpy as jnp
 
@@ -176,10 +188,10 @@ def test_head_dot_kernel():
     )
 
     Hp, Wc, B, C4, COUT = 33, 40, 2, 256, 64
-    g4 = RNG.standard_normal((Hp, Wc, B, C4)).astype(np.float32) * 0.1
-    g4[Hp - 1:, :, :, :] = 0
-    g4[:, Hp - 1:, :, :] = 0
-    g4 = jnp.asarray(g4)
+    g4 = RNG.standard_normal((B, Hp, Wc, C4)).astype(np.float32) * 0.1
+    g4[:, Hp - 1:, :, :] = 7.5   # dead slots: must be gated in-kernel
+    g4[:, :, Hp - 1:, :] = -3.25
+    g4 = jnp.asarray(g4).transpose(1, 2, 0, 3)
     w64 = jnp.asarray(
         RNG.standard_normal((3, 3, C4, COUT)).astype(np.float32) * 0.05)
     b64 = jnp.asarray(
