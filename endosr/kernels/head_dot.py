@@ -60,15 +60,18 @@ __all__ = ["head_dot", "head_dot_reference", "head_dot_supported",
 TH = 8  # output rows per program
 
 
-def head_dot_supported(g4_shape, cout) -> bool:
-    """g4 is [Hp, Wc, B, C4] (HWNC logical). Wc may carry pad columns;
-    row n, column n and the pads are dead slots, gated in-kernel (the
-    packed s=0 gate)."""
+def head_dot_supported(g4_shape, cout, wout=None) -> bool:
+    """g4 is [Hp, Wc, B, C4] (HWNC logical). ``wout`` is the logical
+    output width (defaults to Hp-1, the square case); Wc may carry pad
+    columns beyond it. Row nh, column nw and the pads are dead slots,
+    gated in-kernel (the packed s=0 gate)."""
     hp, wc, b, c4 = g4_shape
-    w = hp - 1
-    # w >= 2·TH: a single-block grid's halo strip (TH+2 rows) would not
+    h = hp - 1
+    if wout is None:
+        wout = h
+    # h >= 2·TH: a single-block grid's halo strip (TH+2 rows) would not
     # fit the Hp = TH+1 tensor
-    return (w % TH == 0 and w >= 2 * TH and wc >= hp and wc % 8 == 0
+    return (h % TH == 0 and h >= 2 * TH and wc >= wout + 1 and wc % 8 == 0
             and c4 % 128 == 0 and cout % 64 == 0 and b <= 8)
 
 
@@ -78,28 +81,29 @@ def stack_head_taps(w64):
     return jnp.transpose(w64, (2, 0, 1, 3)).reshape(c4, 9 * cout)
 
 
-def head_dot_reference(g4_hwnc, w64, b64):
-    """jnp twin: apply the s=0 edge gate (row/col ≥ n dead), conv
+def head_dot_reference(g4_hwnc, w64, b64, wout=None):
+    """jnp twin: apply the s=0 edge gate (row ≥ nh / col ≥ nw dead), conv
     (pad (1,0)) + bias on the BHWC view, HBWC output."""
     g4 = jnp.transpose(g4_hwnc, (2, 0, 1, 3))
     hp, wc = g4.shape[1], g4.shape[2]
-    w = hp - 1
-    mr = (jnp.arange(hp) < w).astype(g4.dtype)
-    mc = (jnp.arange(wc) < w).astype(g4.dtype)
+    h = hp - 1
+    if wout is None:
+        wout = h
+    mr = (jnp.arange(hp) < h).astype(g4.dtype)
+    mc = (jnp.arange(wc) < wout).astype(g4.dtype)
     g4 = g4 * mr[None, :, None, None] * mc[None, None, :, None]
     pre = jax.lax.conv_general_dilated(
         g4, w64.astype(g4.dtype), (1, 1), [(1, 0), (1, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[:, :, :w] + b64.astype(g4.dtype)
+    )[:, :, :wout] + b64.astype(g4.dtype)
     return jnp.transpose(pre, (1, 0, 2, 3))
 
 
 def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
-            hp, wc, b, c4, cout, nblk):
+            hp, wc, b, c4, cout, nblk, wout):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    w = hp - 1
     tt = pl.program_id(0)
 
     def start(st, slot):
@@ -175,10 +179,10 @@ def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
 
     bias = b_ref[...].astype(jnp.float32)       # [1, cout]
     zrow = jnp.zeros((1, b, cout), jnp.float32)
-    # dead column n reaches output column w-1 through its dx=2 tap — the
-    # s=0 packed column gate, as one [W,1,1] mask on the f32 tap slab
-    mcol = (jax.lax.broadcasted_iota(jnp.int32, (w, 1, 1), 0)
-            != w - 1).astype(jnp.float32)
+    # dead column nw reaches output column wout-1 through its dx=2 tap —
+    # the s=0 packed column gate, as one [W,1,1] mask on the f32 tap slab
+    mcol = (jax.lax.broadcasted_iota(jnp.int32, (wout, 1, 1), 0)
+            != wout - 1).astype(jnp.float32)
     # rolling 3-slab window: slab y is dead after output row y, keeping
     # ≤4 of the [Wc, B, 9·cout] f32 slabs (4.9 MB each) live at once
     p0, p1 = dot_row(0), dot_row(1)
@@ -190,43 +194,47 @@ def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
                    + p1[:, :, (3 + dx) * cout:(4 + dx) * cout]
                    + p2[:, :, (6 + dx) * cout:(7 + dx) * cout])
             tdx.append(acc)
-        pre = (jnp.concatenate([zrow, tdx[0][:w - 1]], axis=0)
-               + tdx[1][:w] + tdx[2][1:w + 1] * mcol) + bias[None]
+        pre = (jnp.concatenate([zrow, tdx[0][:wout - 1]], axis=0)
+               + tdx[1][:wout] + tdx[2][1:wout + 1] * mcol) + bias[None]
         # [W, B, cout] → [B, W, cout]: the only relayout in the chain,
         # done in-VMEM on the bf16 row (0.26 MB)
         out_ref[y] = jnp.swapaxes(pre.astype(out_ref.dtype), 0, 1)
         p0, p1 = p1, p2
 
 
-@jax.custom_vjp
-def head_dot(g4_hwnc, w64, b64):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def head_dot(g4_hwnc, w64, b64, wout=None):
     """Folded+embedded head conv from an HWNC-emitted g4.
 
     g4_hwnc: [Hp, Wc, B, C4] (the packed tensor in conv-natural bytes,
     UNGATED — the s=0 edge gate is applied inside); w64: [3,3,C4,Cout];
-    b64: [Cout]. Returns [Hp-1, B, Hp-1, Cout] (HBWC — what
+    b64: [Cout]; ``wout``: logical output width (defaults to Hp-1, the
+    square case). Returns [Hp-1, B, wout, Cout] (HBWC — what
     ``output_stage_x8(order="hbwc")`` consumes with untiled-dim block
     slices). Uses the Pallas kernel on TPU for supported shapes, the jnp
     twin otherwise.
     """
-    return _forward(g4_hwnc, w64, b64)
+    return _forward(g4_hwnc, w64, b64, wout)
 
 
-def _forward(g4_hwnc, w64, b64, interpret=False):
+def _forward(g4_hwnc, w64, b64, wout=None, interpret=False):
     hp, wc, b, c4 = g4_hwnc.shape
     cout = w64.shape[3]
+    h = hp - 1
+    if wout is None:
+        wout = h
     if not interpret and (jax.default_backend() != "tpu"
-                          or not head_dot_supported(g4_hwnc.shape, cout)):
-        return head_dot_reference(g4_hwnc, w64, b64)
+                          or not head_dot_supported(g4_hwnc.shape, cout,
+                                                    wout)):
+        return head_dot_reference(g4_hwnc, w64, b64, wout)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    w = hp - 1
-    nblk = w // TH
+    nblk = h // TH
     wf = stack_head_taps(w64).astype(g4_hwnc.dtype)
     return pl.pallas_call(
         functools.partial(_kernel, hp=hp, wc=wc, b=b, c4=c4, cout=cout,
-                          nblk=nblk),
+                          nblk=nblk, wout=wout),
         grid=(nblk,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -235,9 +243,9 @@ def _forward(g4_hwnc, w64, b64, interpret=False):
             pl.BlockSpec((1, cout), lambda tt: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TH, b, w, cout), lambda tt: (tt, 0, 0, 0),
+        out_specs=pl.BlockSpec((TH, b, wout, cout), lambda tt: (tt, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((w, b, w, cout), g4_hwnc.dtype),
+        out_shape=jax.ShapeDtypeStruct((h, b, wout, cout), g4_hwnc.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, TH + 2, wc, b, c4), g4_hwnc.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -252,13 +260,13 @@ def _forward(g4_hwnc, w64, b64, interpret=False):
     )(g4_hwnc, wf, b64.reshape(1, cout).astype(jnp.float32))
 
 
-def _fwd(g4_hwnc, w64, b64):
-    return _forward(g4_hwnc, w64, b64), (g4_hwnc, w64, b64)
+def _fwd(g4_hwnc, w64, b64, wout=None):
+    return _forward(g4_hwnc, w64, b64, wout), (g4_hwnc, w64, b64)
 
 
-def _bwd(res, g):
+def _bwd(wout, res, g):
     g4_hwnc, w64, b64 = res
-    _, vjp = jax.vjp(lambda a, w, c: head_dot_reference(a, w, c),
+    _, vjp = jax.vjp(lambda a, w, c: head_dot_reference(a, w, c, wout),
                      g4_hwnc, w64, b64)
     return vjp(g)
 

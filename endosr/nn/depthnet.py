@@ -89,11 +89,16 @@ def _fold_wb(w, b, r):
     return fold_kernel_through_pixel_shuffle(w, r), jnp.repeat(b, r * r)
 
 
-def _pk_gate(x, s, c, n):
-    """Zero a packed tensor's out-of-fine-range slots (layers.packed_gate)."""
+def _pk_gate(x, s, c):
+    """Zero a packed tensor's out-of-fine-range slots (layers.packed_gate).
+
+    ``x`` is the packed [B, NH+1, NW+1, 4C] tensor; the row gate is built
+    from NH and the column gate from NW so non-square grids are exact
+    (the reference forward is shape-agnostic, ``sftmd_arch.py:912-950``)."""
     from endosr.nn.layers import packed_gate
 
-    row, col = packed_gate(n, c, s, x.dtype)
+    row, _ = packed_gate(x.shape[1] - 1, c, s, x.dtype)
+    _, col = packed_gate(x.shape[2] - 1, c, s, x.dtype)
     return x * row[None, :, None, :] * col[None, None, :, :]
 
 
@@ -836,26 +841,26 @@ class DepthNet(nn.Module):
                 # (formerly the mid-tail pixel_shuffle) reads the packed
                 # tensor's valid slots instead.
                 dtp = self.dtype
-                n1 = h.shape[1]
+                n1h, n1w = h.shape[1], h.shape[2]
                 w13n, b13n = wn_effective_kernel(p13)
                 (w50, b50), (w52, b52) = blocks[nb - 2].effective_weights()
                 w20n, b20n = wn_effective_kernel(p20)
                 g1 = _pk_gate(leaky_relu(_pk_conv(
                     h, w13n, b13n, 0, 1, [(1, 1), (1, 1)], dtp,
-                    interleaved=True)), 1, 32, n1)
+                    interleaved=True)), 1, 32)
                 g2 = _pk_gate(nn.relu(_pk_conv(
-                    g1, w50, b50, 1, 0, [(0, 1), (0, 1)], dtp)), 0, 32, n1)
+                    g1, w50, b50, 1, 0, [(0, 1), (0, 1)], dtp)), 0, 32)
                 g3 = _pk_gate(nn.relu(g1 + _pk_conv(
-                    g2, w52, b52, 0, 1, [(1, 0), (1, 0)], dtp)), 1, 32, n1)
+                    g2, w52, b52, 0, 1, [(1, 0), (1, 0)], dtp)), 1, 32)
                 g4 = _pk_gate(leaky_relu(_pk_conv(
                     g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp)),
-                    0, 128, n1)
-                # interleave the packed (unshifted) grid to real 256²:
-                # z256[2Y+a, 2X+b, o] = g4[Y, X, (a·2+b)·128 + o]
-                gv = g4[:, :n1, :n1, :].reshape(
-                    g4.shape[0], n1, n1, 2, 2, 128)
+                    0, 128)
+                # interleave the packed (unshifted) grid to the real fine
+                # grid: z[2Y+a, 2X+b, o] = g4[Y, X, (a·2+b)·128 + o]
+                gv = g4[:, :n1h, :n1w, :].reshape(
+                    g4.shape[0], n1h, n1w, 2, 2, 128)
                 z = gv.transpose(0, 1, 3, 2, 4, 5).reshape(
-                    g4.shape[0], 2 * n1, 2 * n1, 128)
+                    g4.shape[0], 2 * n1h, 2 * n1w, 128)
             else:
                 w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
                 z = leaky_relu(_conv_dt(_m(h), w13, b13, cc_dt, centered=cc))
@@ -992,12 +997,16 @@ class DepthNet(nn.Module):
         from endosr.nn.layers import packed_gate, packed_stage_kernel
 
         dt = self.dtype
-        n = z.shape[1]
+        nh, nw = z.shape[1], z.shape[2]
         fs = final_scale
         rt = 2 * fs
 
         def gate(G, s, c):
-            row, col = packed_gate(n, c, s, G.dtype)
+            # row gate from the packed H dim, column gate from the packed
+            # W dim — non-square grids are exact (regression: round-2 HEAD
+            # built both from z.shape[1] and crashed every H≠W ×8 forward)
+            row, _ = packed_gate(G.shape[1] - 1, c, s, G.dtype)
+            _, col = packed_gate(G.shape[2] - 1, c, s, G.dtype)
             return G * row[None, :, None, :] * col[None, None, :, :]
 
         def pconv(x, k, pad, bias):
@@ -1034,9 +1043,10 @@ class DepthNet(nn.Module):
         if (self.pallas_tail if isinstance(self.pallas_tail, bool) else True):
             from endosr.kernels.fused_tail import fused_tail_supported
 
-            padw = (-(n + 1)) % 8
-            use_fused = fused_tail_supported(
-                (z.shape[0], n + 1, n + 1 + padw, 4 * 32 * fs * fs),
+            padw = (-(nw + 1)) % 8
+            # fused_tail's in-kernel strip math is square-only (w = hp - 1)
+            use_fused = nh == nw and fused_tail_supported(
+                (z.shape[0], nh + 1, nw + 1 + padw, 4 * 32 * fs * fs),
                 rt, self.out_nc)
             if not use_fused:
                 padw = 0
@@ -1052,10 +1062,11 @@ class DepthNet(nn.Module):
             from endosr.kernels.head_dot import head_dot_supported
             from endosr.kernels.output_stage import output_stage_x8_supported
 
-            hpadw = (-(n + 1)) % 8
+            hpadw = (-(nw + 1)) % 8
             use_head = (head_dot_supported(
-                (n + 1, n + 1 + hpadw, z.shape[0], 4 * 32 * fs * fs), 64)
-                and output_stage_x8_supported((n, z.shape[0], n, 64),
+                (nh + 1, nw + 1 + hpadw, z.shape[0], 4 * 32 * fs * fs), 64,
+                wout=nw)
+                and output_stage_x8_supported((nh, z.shape[0], nw, 64),
                                               order="hbwc"))
             if use_head:
                 padw = hpadw
@@ -1084,7 +1095,8 @@ class DepthNet(nn.Module):
                 [(0, 1), (0, 1 + padw)],
                 dimension_numbers=("NHWC", "HWIO", "HWNC"),
             ) + jnp.tile(b30, 4).astype(dt))
-            row, col = packed_gate(n, 32 * fs * fs, 0, g4r.dtype)
+            row, _ = packed_gate(nh, 32 * fs * fs, 0, g4r.dtype)
+            _, col = packed_gate(nw, 32 * fs * fs, 0, g4r.dtype)
             colw = jnp.concatenate(
                 [col, jnp.zeros((padw, col.shape[1]), col.dtype)], axis=0)
             g4 = g4r * row[:, None, None, :] * colw[None, :, None, :]
@@ -1124,7 +1136,7 @@ class DepthNet(nn.Module):
             )
 
             w64, b64 = embed_head_channels(wh[:, :, perm, :], bh)
-            pre64 = head_dot(g4, w64.astype(dt), b64)   # [H, B, W, 64]
+            pre64 = head_dot(g4, w64.astype(dt), b64, nw)  # [H, B, W, 64]
             flat = output_stage_x8(pre64, self.clamp_min, self.clamp_max,
                                    order="hbwc")
             return flat.reshape(
@@ -1143,7 +1155,7 @@ class DepthNet(nn.Module):
             )
 
             w64, b64 = embed_head_channels(wh[:, :, perm, :], bh)
-            if output_stage_x8_supported((g4.shape[0], n, n, 64)):
+            if output_stage_x8_supported((g4.shape[0], nh, nw, 64)):
                 pre64 = jax.lax.conv_general_dilated(
                     g4, w64.astype(dt), (1, 1), [(1, 0), (1, 0)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -1361,3 +1373,42 @@ class DepthNet(nn.Module):
             jnp.clip(pre, self.clamp_min, self.clamp_max), r
         )
         return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Named serving/training presets — the knob combinations actually MEASURED on
+# TPU v5e (BASELINE.md ladder). The DepthNet flag surface above is wide
+# (packed/pallas/lazy/centered knobs) and only these combinations carry
+# committed numbers; select one via ``network_G.preset`` in the YAML
+# (endosr/nn/networks.py) instead of hand-picking flags. Pair with the
+# top-level ``precision`` key as documented per preset.
+DEPTHNET_PRESETS = {
+    # ×8/×4 serving (pair with ``precision: bf16``): phase-packed ×8 tail,
+    # tap-stacked head + v3 output stage auto-enabled on qualifying shapes.
+    "serve": dict(packed_tail=True, packed_up1=False, pallas_tail=False,
+                  pallas_head="auto", pallas_output="auto",
+                  pallas_style="auto", lazy_branches=True, style_chunk=4,
+                  blend_fold=False, remat_blocks=False),
+    # ×2/×3 serving (pair with ``precision: bf16c3`` — ≥50 dB certified
+    # where plain bf16 fails the 0.05 dB budget, tests/test_bf16_quality.py).
+    # Same graph knobs; the centered-conv mode is set by ``precision``.
+    "serve_bf16c3": dict(packed_tail=True, packed_up1=False,
+                         pallas_tail=False, pallas_head="auto",
+                         pallas_output="auto", pallas_style="auto",
+                         lazy_branches=True, style_chunk=4,
+                         blend_fold=False, remat_blocks=False),
+    # flagship training (the measured train-step config; the model layer
+    # additionally forces pallas_output=True inside its train-step clone —
+    # endosr/models/f_depthcond.py:_build_train_step).
+    "train": dict(packed_tail=True, packed_up1=False, pallas_tail=False,
+                  pallas_head="auto", pallas_output="auto",
+                  pallas_style="auto", lazy_branches=True, style_chunk=4,
+                  blend_fold=False, remat_blocks=False),
+    # reference-faithful debugging: every fast path off (dense folds,
+    # XLA-only epilogues) — the slowest, most transparent graph.
+    "plain": dict(packed_tail=False, packed_up1=False, pallas_tail=False,
+                  pallas_head=False, pallas_output=False,
+                  pallas_style=False, lazy_branches=False, style_chunk=1,
+                  blend_fold=False, remat_blocks=False,
+                  fold_tail=False, fold_output_conv=False),
+}

@@ -208,3 +208,23 @@ def test_head_dot_kernel():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-4)
+
+    # rectangular grid (wout ≠ Hp−1): non-square ×8 frames route here; the
+    # dead column sits at wout, with garbage beyond it
+    WOUT = 24
+    g4r = RNG.standard_normal((B, Hp, Wc, C4)).astype(np.float32) * 0.1
+    g4r[:, Hp - 1:, :, :] = 5.5
+    g4r[:, :, WOUT:, :] = -2.75
+    g4r = jnp.asarray(g4r).transpose(1, 2, 0, 3)
+    want_r = np.asarray(head_dot_reference(g4r, w64, b64, WOUT))
+    got_r = np.asarray(_forward(g4r, w64, b64, WOUT, interpret=True))
+    assert got_r.shape == (Hp - 1, B, WOUT, COUT)
+    np.testing.assert_allclose(got_r, want_r, atol=2e-6)
+    gr0 = jax.grad(lambda a, w, b: jnp.sum(head_dot(a, w, b, WOUT) ** 2),
+                   argnums=(0, 1, 2))(g4r, w64, b64)
+    gr1 = jax.grad(
+        lambda a, w, b: jnp.sum(head_dot_reference(a, w, b, WOUT) ** 2),
+        argnums=(0, 1, 2))(g4r, w64, b64)
+    for a, b in zip(gr0, gr1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-4)

@@ -1,0 +1,93 @@
+"""DepthNet serving-knob interaction matrix (fast tier).
+
+The DepthNet flag surface (packed_tail / packed_up1 / pallas_* / fold_* /
+valid_hw / centered_convs) breeds combination bugs — round 2 shipped a
+square-grid assumption in the packed ×8 tail that crashed every H≠W
+forward (VERDICT r2). This matrix runs the pairwise-interesting combos at
+tiny ×8 shapes, square AND non-square, against one dense-fold oracle:
+
+* exact knobs (packed_tail, packed_up1, pallas_output fallback, unfolded
+  tail) must match the oracle to fp32 reduction noise;
+* approximate knobs (centered_convs = bf16c3) must be finite, correctly
+  shaped and close at bf16 tolerance;
+* the valid_hw masked program must reproduce the unpadded forward after
+  cropping (tiny twin of tests/test_eval_buckets.py's slow all-scale case).
+
+Reference behavior being pinned: the torch forward is shape-agnostic
+(``sftmd_arch.py:912-950``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from endosr.nn.depthnet import DEPTHNET_PRESETS, DepthNet
+
+KEY = jax.random.PRNGKey(0)
+RNG = np.random.default_rng(11)
+
+H, W = 8, 12  # non-square on purpose; H,W % 4 == 0 for the masked path
+KW = dict(which_resblk_depth=(0,), nb=4, scale=8, depth_latent_ch=16,
+          depth_range_num=4, dtype=jnp.float32, pallas_output=False)
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    lq = jnp.asarray(RNG.random((1, H, W, 3), np.float32))
+    dep = jnp.asarray(RNG.random((1, H, W, 1), np.float32))
+    mk = jnp.asarray((RNG.random((1, H, W, 4)) > 0.7).astype(np.float32))
+    net = DepthNet(**KW)
+    params = net.init(KEY, lq, dep, mk)["params"]
+    oracle = np.asarray(net.apply({"params": params}, lq, dep, mk))
+    assert oracle.shape == (1, 8 * H, 8 * W, 3)
+    return lq, dep, mk, params, oracle
+
+
+# (name, overrides) — exact combos: must equal the dense-fold oracle
+EXACT_COMBOS = [
+    ("packed_tail", dict(packed_tail=True)),
+    ("packed_tail+up1", dict(packed_tail=True, packed_up1=True)),
+    ("unfolded", dict(packed_tail=False, fold_tail=False,
+                      fold_output_conv=False)),
+    ("pallas_output_fallback", dict(packed_tail=True, pallas_output=True)),
+    ("preset_serve", DEPTHNET_PRESETS["serve"]),
+    ("preset_plain", DEPTHNET_PRESETS["plain"]),
+]
+
+
+@pytest.mark.parametrize("name,overrides",
+                         EXACT_COMBOS, ids=[c[0] for c in EXACT_COMBOS])
+def test_exact_combo_matches_oracle(fixture, name, overrides):
+    lq, dep, mk, params, oracle = fixture
+    net = DepthNet(**{**KW, **overrides})
+    out = np.asarray(net.apply({"params": params}, lq, dep, mk))
+    np.testing.assert_allclose(out, oracle, atol=3e-6, err_msg=name)
+
+
+def test_bf16c3_combo_close(fixture):
+    lq, dep, mk, params, oracle = fixture
+    net = DepthNet(**{**KW, "packed_tail": True, "centered_convs": 3,
+                      "modulation_dtype": jnp.bfloat16})
+    out = np.asarray(net.apply({"params": params}, lq, dep, mk))
+    assert out.shape == oracle.shape
+    assert np.isfinite(out).all()
+    # centered bf16 convs: not exact, but within bf16 rounding of fp32
+    assert np.abs(out - oracle).max() < 0.1
+
+
+def test_valid_hw_masked_matches_cropped(fixture):
+    lq, dep, mk, params, oracle = fixture
+    from endosr.ops.masks import pool_mask_np
+
+    B = 8
+    hb, wb = -(-H // B) * B, -(-W // B) * B  # pad W 12 -> 16 (H already 8)
+    pad = ((0, 0), (0, hb - H), (0, wb - W), (0, 0))
+    v3h, v3w = ((H + 1) // 2 + 1) // 2, ((W + 1) // 2 + 1) // 2
+    pm = pool_mask_np(np.asarray(mk), (v3h, v3w), (hb // 4, wb // 4))
+    net = DepthNet(**KW)
+    out = np.asarray(net.apply(
+        {"params": params}, np.pad(np.asarray(lq), pad),
+        np.pad(np.asarray(dep), pad), np.pad(np.asarray(mk), pad),
+        valid_hw=(jnp.int32(H), jnp.int32(W)), pool_mask=pm))
+    np.testing.assert_allclose(out[:, :H * 8, :W * 8], oracle, atol=2e-5)
