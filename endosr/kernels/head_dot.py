@@ -60,19 +60,29 @@ __all__ = ["head_dot", "head_dot_reference", "head_dot_supported",
 TH = 8  # output rows per program
 
 
-def head_dot_supported(g4_shape, cout, wout=None) -> bool:
+def head_dot_supported(g4_shape, cout, wout=None, itemsize=2) -> bool:
     """g4 is [Hp, Wc, B, C4] (HWNC logical). ``wout`` is the logical
     output width (defaults to Hp-1, the square case); Wc may carry pad
     columns beyond it. Row nh, column nw and the pads are dead slots,
-    gated in-kernel (the packed s=0 gate)."""
+    gated in-kernel (the packed s=0 gate). ``itemsize``: bytes per g4
+    element (2 = bf16 serving; the fp32 certification path doubles the
+    halo scratch and must fall back when it exceeds the VMEM budget —
+    round-2's bench died compiling exactly that)."""
     hp, wc, b, c4 = g4_shape
     h = hp - 1
     if wout is None:
         wout = h
+    # VMEM budget model, matching vmem_limit_bytes below: double-buffered
+    # halo scratch + 4 live f32 tap slabs + weights + output block
+    vmem = (2 * (TH + 2) * wc * b * c4 * itemsize      # halo scratch
+            + 4 * wc * b * 9 * cout * 4                # rolling tap slabs
+            + c4 * 9 * cout * itemsize                 # stacked weights
+            + TH * b * wout * cout * itemsize)         # out block
     # h >= 2·TH: a single-block grid's halo strip (TH+2 rows) would not
     # fit the Hp = TH+1 tensor
     return (h % TH == 0 and h >= 2 * TH and wc >= wout + 1 and wc % 8 == 0
-            and c4 % 128 == 0 and cout % 64 == 0 and b <= 8)
+            and c4 % 128 == 0 and cout % 64 == 0 and b <= 8
+            and vmem <= 95 * 1024 * 1024)
 
 
 def stack_head_taps(w64):
@@ -224,8 +234,9 @@ def _forward(g4_hwnc, w64, b64, wout=None, interpret=False):
     if wout is None:
         wout = h
     if not interpret and (jax.default_backend() != "tpu"
-                          or not head_dot_supported(g4_hwnc.shape, cout,
-                                                    wout)):
+                          or not head_dot_supported(
+                              g4_hwnc.shape, cout, wout,
+                              jnp.dtype(g4_hwnc.dtype).itemsize)):
         return head_dot_reference(g4_hwnc, w64, b64, wout)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

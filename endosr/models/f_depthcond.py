@@ -339,6 +339,12 @@ class FModelDepthCond(BaseModel):
                        or getattr(self.netG, "fused_epilogue", False)
                        or getattr(self.netG, "centered_convs", 0)):
             bucket = 0
+            if not getattr(self, "_warned_bucket_fallback", False):
+                self._warned_bucket_fallback = True
+                logger.warning(
+                    "eval bucketing disabled for this network config "
+                    "(ablation / fused epilogue / centered bf16c): falling "
+                    "back to one XLA compile per input shape")
         h, w = lq.shape[1], lq.shape[2]
         if bucket:
             bucket = -(-bucket // 4) * 4  # masked path needs H,W % 4 == 0

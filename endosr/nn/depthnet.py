@@ -1065,7 +1065,7 @@ class DepthNet(nn.Module):
             hpadw = (-(nw + 1)) % 8
             use_head = (head_dot_supported(
                 (nh + 1, nw + 1 + hpadw, z.shape[0], 4 * 32 * fs * fs), 64,
-                wout=nw)
+                wout=nw, itemsize=jnp.dtype(dt).itemsize)
                 and output_stage_x8_supported((nh, z.shape[0], nw, 64),
                                               order="hbwc"))
             if use_head:

@@ -29,10 +29,21 @@ def define_G(opt, dtype=jnp.float32, modulation_dtype=None,
     scale = opt.get("scale") or opt_net.get("scale") or opt_net.get("upscale", 4)
 
     if which_model == "DepthNet":
-        from endosr.nn.depthnet import DepthNet
+        from endosr.nn.depthnet import DEPTHNET_PRESETS, DepthNet
 
         ds = _dataset_block(opt)
+        # ``network_G.preset``: a named, measured knob combination
+        # (depthnet.DEPTHNET_PRESETS) instead of hand-picked serving flags
+        preset = opt_net.get("preset")
+        extra = {}
+        if preset:
+            if preset not in DEPTHNET_PRESETS:
+                raise ValueError(
+                    f"Unknown DepthNet preset [{preset}]; available: "
+                    f"{sorted(DEPTHNET_PRESETS)}")
+            extra = DEPTHNET_PRESETS[preset]
         return DepthNet(
+            **extra,
             which_resblk_depth=tuple(opt_net.get("which_ResBlk_depth") or ()),
             in_nc=opt_net.get("in_nc", 3),
             out_nc=opt_net.get("out_nc", 3),

@@ -45,6 +45,17 @@ def main():
 
     opt_F = option.dict_to_nonedict(opt_F)
 
+    # Serving-precision auto-select (BASELINE.md quality budget): ×4/×8
+    # serve in bf16 (certified ≥60 dB vs fp32 at the ×8 flagship); ×2/×3
+    # serve in bf16c3 — 3-pass mean-compensated centered convs, ≥50 dB
+    # where plain bf16 fails the 0.05 dB budget
+    # (tests/test_bf16_quality.py, endosr/nn/layers.py:centered_conv).
+    # Set ``precision`` in the YAML to override (``fp32`` = reference-exact).
+    if opt_F.get("precision") is None:
+        opt_F["precision"] = "bf16" if int(opt_F["scale"]) >= 4 else "bf16c3"
+        logger.info("precision auto-selected: %s (x%d serving)",
+                    opt_F["precision"], int(opt_F["scale"]))
+
     from endosr.data import create_dataloader, create_dataset
     from endosr.metrics import calculate_psnr, calculate_ssim
     from endosr.models import create_model
