@@ -190,8 +190,14 @@ def main():
     # the conv off the MXU: measured 3.2 ms vs 0.9 ms for conv+write).
     # The chain scalar reads a strided sample of the output so each call
     # still depends on the previous call's full forward.
+    # Params are CLOSED OVER (compile-time constants): serving runs fixed
+    # weights, and with params as constants XLA folds the weight-norm
+    # normalizations, packed-kernel builds and bias tiles at compile time
+    # instead of re-preparing them every frame (~2.5 ms/step at this
+    # shape, round-3 profile). The serving model layer does the same
+    # (FModelDepthCond._refresh_serving_jits).
     @jax.jit
-    def step(params, lq, depth, masks, acc):
+    def step(lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
         return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
 
@@ -199,7 +205,7 @@ def main():
         acc = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(n):
-            _, acc = step(params, lq, depth, masks, acc)
+            _, acc = step(lq, depth, masks, acc)
         v = jax.device_get(acc)
         assert np.isfinite(v)
         return time.perf_counter() - t0
@@ -235,7 +241,7 @@ def main():
     # --- enrichment: MFU + quality certification (headline already out) ---
     state["phase"] = "cost-analysis"
     try:
-        compiled = step.lower(params, lq, depth, masks,
+        compiled = step.lower(lq, depth, masks,
                               jnp.float32(0.0)).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
@@ -251,7 +257,7 @@ def main():
     state["phase"] = "fp32-cert"
     try:
         net32 = DepthNet(dtype=jnp.float32, **kw)
-        out16 = np.asarray(step(params, lq, depth, masks,
+        out16 = np.asarray(step(lq, depth, masks,
                                 jnp.float32(0.0))[0], dtype=np.float64)
         out32 = np.asarray(jax.jit(
             lambda p, a: net32.apply({"params": p}, a, depth, masks))(

@@ -91,9 +91,14 @@ def stack_head_taps(w64):
     return jnp.transpose(w64, (2, 0, 1, 3)).reshape(c4, 9 * cout)
 
 
-def head_dot_reference(g4_hwnc, w64, b64, wout=None):
-    """jnp twin: apply the s=0 edge gate (row ≥ nh / col ≥ nw dead), conv
+def head_dot_reference(g4_hwnc, w64, b64, wout=None, pre_bias=None,
+                       slope=0.2):
+    """jnp twin: optional producer epilogue (bias + leaky_relu on the raw
+    conv output), then the s=0 edge gate (row ≥ nh / col ≥ nw dead), conv
     (pad (1,0)) + bias on the BHWC view, HBWC output."""
+    if pre_bias is not None:
+        y = g4_hwnc + pre_bias.reshape(1, 1, 1, -1).astype(g4_hwnc.dtype)
+        g4_hwnc = jnp.maximum(y, y * jnp.asarray(slope, g4_hwnc.dtype))
     g4 = jnp.transpose(g4_hwnc, (2, 0, 1, 3))
     hp, wc = g4.shape[1], g4.shape[2]
     h = hp - 1
@@ -109,10 +114,15 @@ def head_dot_reference(g4_hwnc, w64, b64, wout=None):
     return jnp.transpose(pre, (1, 0, 2, 3))
 
 
-def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
-            hp, wc, b, c4, cout, nblk, wout):
+def _kernel(g4_hbm, wf_ref, b_ref, *rest, hp, wc, b, c4, cout, nblk, wout,
+            slope=0.2):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if len(rest) == 4:           # producer epilogue fused in
+        pb_ref, out_ref, scratch, sems = rest
+    else:
+        pb_ref, (out_ref, scratch, sems) = None, rest
 
     tt = pl.program_id(0)
 
@@ -165,6 +175,15 @@ def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
     wait(slot, tt)
 
     strip = scratch[slot]                       # [TH+2, Wc, B, C4]
+    if pb_ref is not None:
+        # producer epilogue: the g4 conv emits RAW output and its
+        # bias + leaky_relu run here in-VMEM (same dtype, bit-identical)
+        # instead of as a separate whole-tensor XLA pass (556 MB RW,
+        # measured 1.5 ms at the flagship shape). Must run BEFORE the
+        # zero substitutions below: those rows represent conv padding /
+        # the dead-slot gate, both of which apply AFTER the epilogue.
+        y = strip + pb_ref[...].reshape(1, 1, 1, c4)
+        strip = jnp.maximum(y, y * jnp.asarray(slope, y.dtype))
     # first block: the DMA left row 0 untouched (uninitialized) — select,
     # don't scale (NaN·0 = NaN). Last block: its bottom halo row is the
     # packed grid's dead row n (holds leaky_relu(conv) of out-of-range
@@ -212,22 +231,26 @@ def _kernel(g4_hbm, wf_ref, b_ref, out_ref, scratch, sems, *,
         p0, p1 = p1, p2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def head_dot(g4_hwnc, w64, b64, wout=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def head_dot(g4_hwnc, w64, b64, wout=None, pre_bias=None, slope=0.2):
     """Folded+embedded head conv from an HWNC-emitted g4.
 
     g4_hwnc: [Hp, Wc, B, C4] (the packed tensor in conv-natural bytes,
     UNGATED — the s=0 edge gate is applied inside); w64: [3,3,C4,Cout];
     b64: [Cout]; ``wout``: logical output width (defaults to Hp-1, the
-    square case). Returns [Hp-1, B, wout, Cout] (HBWC — what
-    ``output_stage_x8(order="hbwc")`` consumes with untiled-dim block
-    slices). Uses the Pallas kernel on TPU for supported shapes, the jnp
-    twin otherwise.
+    square case). ``pre_bias`` [C4]: when given, g4 is the producer
+    conv's RAW output and its bias + leaky_relu(``slope``) epilogue runs
+    inside the kernel (bit-identical same-dtype math) instead of as a
+    separate whole-tensor XLA pass. Returns [Hp-1, B, wout, Cout] (HBWC —
+    what ``output_stage_x8(order="hbwc")`` consumes with untiled-dim
+    block slices). Uses the Pallas kernel on TPU for supported shapes,
+    the jnp twin otherwise.
     """
-    return _forward(g4_hwnc, w64, b64, wout)
+    return _forward(g4_hwnc, w64, b64, pre_bias, wout, slope)
 
 
-def _forward(g4_hwnc, w64, b64, wout=None, interpret=False):
+def _forward(g4_hwnc, w64, b64, pre_bias=None, wout=None, slope=0.2,
+             interpret=False):
     hp, wc, b, c4 = g4_hwnc.shape
     cout = w64.shape[3]
     h = hp - 1
@@ -237,23 +260,29 @@ def _forward(g4_hwnc, w64, b64, wout=None, interpret=False):
                           or not head_dot_supported(
                               g4_hwnc.shape, cout, wout,
                               jnp.dtype(g4_hwnc.dtype).itemsize)):
-        return head_dot_reference(g4_hwnc, w64, b64, wout)
+        return head_dot_reference(g4_hwnc, w64, b64, wout, pre_bias, slope)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nblk = h // TH
     wf = stack_head_taps(w64).astype(g4_hwnc.dtype)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((c4, 9 * cout), lambda tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [g4_hwnc, wf, b64.reshape(1, cout).astype(jnp.float32)]
+    if pre_bias is not None:
+        in_specs.append(pl.BlockSpec((1, c4), lambda tt: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(pre_bias.reshape(1, c4).astype(g4_hwnc.dtype))
     return pl.pallas_call(
         functools.partial(_kernel, hp=hp, wc=wc, b=b, c4=c4, cout=cout,
-                          nblk=nblk, wout=wout),
+                          nblk=nblk, wout=wout, slope=slope),
         grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((c4, 9 * cout), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TH, b, wout, cout), lambda tt: (tt, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, b, wout, cout), g4_hwnc.dtype),
@@ -268,17 +297,24 @@ def _forward(g4_hwnc, w64, b64, wout=None, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(g4_hwnc, wf, b64.reshape(1, cout).astype(jnp.float32))
+    )(*args)
 
 
-def _fwd(g4_hwnc, w64, b64, wout=None):
-    return _forward(g4_hwnc, w64, b64, wout), (g4_hwnc, w64, b64)
+def _fwd(g4_hwnc, w64, b64, wout=None, pre_bias=None, slope=0.2):
+    return (_forward(g4_hwnc, w64, b64, pre_bias, wout, slope),
+            (g4_hwnc, w64, b64, pre_bias))
 
 
-def _bwd(wout, res, g):
-    g4_hwnc, w64, b64 = res
-    _, vjp = jax.vjp(lambda a, w, c: head_dot_reference(a, w, c, wout),
-                     g4_hwnc, w64, b64)
+def _bwd(wout, slope, res, g):
+    g4_hwnc, w64, b64, pre_bias = res
+    if pre_bias is None:
+        _, vjp = jax.vjp(
+            lambda a, w, c: head_dot_reference(a, w, c, wout),
+            g4_hwnc, w64, b64)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda a, w, c, p: head_dot_reference(a, w, c, wout, p, slope),
+        g4_hwnc, w64, b64, pre_bias)
     return vjp(g)
 
 

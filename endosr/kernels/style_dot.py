@@ -138,3 +138,147 @@ def _bwd(res, g):
 
 
 style_dot_hwbm.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused style + o-branch blend: the group style dot PLUS the per-instance
+# blended-modulation add in one pass.
+#
+# With blend-fold operands (α-scaled v, (1−α)-scaled o-branch conv2 outputs,
+# fully blended biases — see ``endosr/nn/sean.py``), the final (γ, β) map of
+# each SEAN instance is  style_dot + conv2_raw + bias.  XLA materializes that
+# add as one [B,H,W,2C] fusion per instance (26 × ~208 µs at the ×8 flagship
+# shape — reading the style slice AND the conv output, writing the map).
+# Here the adds happen in-VMEM: the kernel reads the shifted mask stack once
+# per row-block, the G conv2 outputs once, and writes the blended maps once —
+# the separate per-instance map round-trips disappear.
+#
+# Input contract: conv2 outputs are emitted HWNC ([H, W, B, 2C] logical,
+# default {3,2,1,0} layout = the conv's natural bytes — same trick as
+# ``head_dot``), so no relayout feeds the kernel and the output transposes
+# back to BHWC as a bitcast.
+
+MCHUNK = 256  # lanes per in-kernel m-slice (bounds the f32 dot temp)
+BTH = 4       # rows per program (smaller than style_dot's TH: the G conv
+              # operands + full-M output block all live in VMEM at once)
+
+
+def style_blend_supported(shape, m, n_conv, itemsize=2) -> bool:
+    b, h, w, j = shape
+    c2 = m // n_conv
+    # VMEM budget model (double-buffered operand/output blocks + the f32
+    # dot slice and its transpose temp), matching vmem_limit_bytes below
+    vmem = (2 * b * BTH * w * j * itemsize          # shifted block
+            + 2 * b * j * m * itemsize              # v (constant index)
+            + 2 * n_conv * BTH * w * b * c2 * itemsize   # conv blocks
+            + 2 * BTH * w * b * m * itemsize        # out block
+            + 2 * b * BTH * w * MCHUNK * 4 * 2)     # f32 dot + transpose
+    return (h % BTH == 0 and w % 8 == 0 and m % MCHUNK == 0
+            and MCHUNK % c2 == 0 and b <= 8
+            and vmem <= 95 * 1024 * 1024)
+
+
+def style_blend_reference(shifted, v, convs, bias):
+    """jnp twin: dot + concat(convs) + bias → [H,W,B,M].
+
+    shifted [B,H,W,J]; v [B,J,M]; convs: tuple of [H,W,B,2C] (HWNC) raw
+    conv outputs, Σ2C = M; bias [M] fp32.
+    """
+    y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
+    y = jnp.transpose(y, (1, 2, 0, 3)).astype(shifted.dtype)
+    return (y + jnp.concatenate(convs, axis=-1)
+            + bias.astype(shifted.dtype))
+
+
+def _blend_kernel(s_ref, v_ref, b_ref, *rest):
+    conv_refs, o_ref = rest[:-1], rest[-1]
+    b, th, w = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
+    m = o_ref.shape[3]
+    c2 = conv_refs[0].shape[3]
+    per = MCHUNK // c2
+    flat = s_ref[...].reshape(b, th * w, s_ref.shape[3])
+    for k in range(m // MCHUNK):
+        y = jax.lax.dot_general(
+            flat, v_ref[:, :, k * MCHUNK:(k + 1) * MCHUNK],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                   # [B, TH·W, MCHUNK]
+        yt = jnp.transpose(
+            y.reshape(b, th, w, MCHUNK).astype(o_ref.dtype), (1, 2, 0, 3))
+        cs = jnp.concatenate(
+            [conv_refs[k * per + i][...] for i in range(per)], axis=-1)
+        o_ref[:, :, :, k * MCHUNK:(k + 1) * MCHUNK] = (
+            yt + cs + b_ref[0, k * MCHUNK:(k + 1) * MCHUNK]
+            .astype(o_ref.dtype))
+
+
+@jax.custom_vjp
+def style_blend_dot(shifted, v, convs, bias):
+    """[B,H,W,J] × [B,J,M] + concat [H,W,B,2C] convs + bias → [H,W,B,M].
+
+    Uses the Pallas kernel on TPU for supported shapes, the jnp twin
+    otherwise. ``convs`` is a tuple; gradients flow to every operand.
+    """
+    return _blend_forward(shifted, v, convs, bias)
+
+
+def _blend_forward(shifted, v, convs, bias, interpret=False):
+    b, h, w, j = shifted.shape
+    m = v.shape[2]
+    if not interpret and (jax.default_backend() != "tpu"
+                          or not style_blend_supported(shifted.shape, m,
+                                                       len(convs))):
+        return style_blend_reference(shifted, v, convs, bias)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c2 = m // len(convs)
+    in_specs = [
+        pl.BlockSpec((b, BTH, w, j), lambda hh: (0, hh, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, j, m), lambda hh: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m), lambda hh: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((BTH, w, b, c2), lambda hh: (hh, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in convs
+    ]
+    return pl.pallas_call(
+        _blend_kernel,
+        grid=(h // BTH,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BTH, w, b, m), lambda hh: (hh, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, b, m), shifted.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(shifted, v, bias.reshape(1, m).astype(jnp.float32), *convs)
+
+
+def _blend_fwd(shifted, v, convs, bias):
+    # zero-size carriers: static conv count (shape) + operand dtypes
+    cmeta = jnp.zeros((len(convs), 0), convs[0].dtype)
+    bmeta = jnp.zeros((0,), bias.dtype)
+    return (_blend_forward(shifted, v, convs, bias),
+            (shifted, v, cmeta, bmeta))
+
+
+def _blend_bwd(res, g):
+    shifted, v, cmeta, bmeta = res
+    n_conv, cdt, bdt = cmeta.shape[0], cmeta.dtype, bmeta.dtype
+    m = g.shape[3]
+    c2 = m // n_conv
+    gt = jnp.transpose(g, (2, 0, 1, 3))  # [B,H,W,M]
+    gs = jnp.einsum("bhwm,bjm->bhwj", gt, v).astype(shifted.dtype)
+    gv = jnp.einsum("bhwj,bhwm->bjm", shifted, gt).astype(v.dtype)
+    gconvs = tuple(
+        g[..., i * c2:(i + 1) * c2].astype(cdt) for i in range(n_conv))
+    gbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(bdt)
+    return gs, gv, gconvs, gbias
+
+
+style_blend_dot.defvjp(_blend_fwd, _blend_bwd)

@@ -56,10 +56,12 @@ from endosr.nn.sean import (
     hoisted_o_branch,
     hoisted_style_branch,
     o_branch_from_actv,
+    o_branch_raw_hwnc,
     pallas_o_branch,
     precompute_o_actv,
     precompute_style_v,
     shifted_mask_stack,
+    style_blend_chunk,
     style_chunk_dot,
 )
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
@@ -418,6 +420,17 @@ class DepthNet(nn.Module):
     # (endosr/kernels/style_dot.py). "auto" = on for TPU-supported shapes
     # (the kernel self-falls-back to the einsum twin elsewhere).
     pallas_style: Any = "auto"
+    # Fused style+blend group kernel (endosr/kernels/style_dot.py::
+    # style_blend_dot): the group style dot, the (1−α)-scaled o-branch
+    # conv2 adds and the blended biases in ONE Pallas pass per style
+    # group. XLA materializes the per-instance blended-map add as its own
+    # [B,H,W,2C] fusion (26 × ~208 µs at the ×8 flagship shape, round-3
+    # profile); with the kernel those fusions disappear — the conv2s emit
+    # HWNC raw (zero relayout in) and the kernel writes the FINAL (γ,β)
+    # maps. Exact blend-fold reassociation of the same math; gradient-
+    # capable via the twin's VJP. "auto" = on when lazy + unmasked +
+    # shapes qualify (self-falls-back off-TPU).
+    pallas_style_blend: Any = "auto"
     # Blend-fold (lazy mode): reassociate SEAN's α blend
     #   γ = α·γ_s + (1−α)·γ_o
     # into the branch producers — the style dot's v is α-scaled, the
@@ -731,6 +744,35 @@ class DepthNet(nn.Module):
             sh = shifted
             if tie is not None:
                 sh, _ = jax.lax.optimization_barrier((sh, tie))
+            # fused style+blend kernel: one pass emits the FINAL blended
+            # (γ,β) maps for the whole group (see pallas_style_blend flag)
+            fuse_blend = False
+            if ((self.pallas_style_blend
+                 if isinstance(self.pallas_style_blend, bool) else True)
+                    and vm is None and all(i in lazy_o for i in ids)):
+                from endosr.kernels.style_dot import style_blend_supported
+
+                m_total = sum(lazy_s[i][0].shape[2] + lazy_s[i][2].shape[2]
+                              for i in ids)
+                fuse_blend = style_blend_supported(sh.shape, m_total,
+                                                   2 * len(ids))
+            if fuse_blend:
+                v_list, w_list, a_list, ob_list, convs = [], [], [], [], []
+                for i in ids:
+                    v1, w1s, v2, w2s = lazy_s[i]
+                    a1, w1o, a2, w2o = lazy_o.pop(i)
+                    al = blocks[i].blend_alphas()
+                    v_list += [v1, v2]
+                    w_list += [w1s, w2s]
+                    a_list += al
+                    ob_list += [w1o[2], w2o[2]]
+                    convs.append(o_branch_raw_hwnc(a1, w1o, mod_dt, al[0]))
+                    convs.append(o_branch_raw_hwnc(a2, w2o, mod_dt, al[1]))
+                outs = style_blend_chunk(sh, v_list, w_list, a_list,
+                                         ob_list, convs, mod_dt)
+                for idx, i in enumerate(ids):
+                    mod_map[i] = (outs[2 * idx], outs[2 * idx + 1])
+                return
             v_list, w_list, a_list, ob_list = [], [], [], []
             for i in ids:
                 v1, w1, v2, w2 = lazy_s[i]
@@ -1075,16 +1117,18 @@ class DepthNet(nn.Module):
         if use_head:
             # HWNC emission (g4 [Hp, Wc, B, C4]): the default {3,2,1,0}
             # layout on this logical order IS the conv's natural bytes,
-            # so XLA fuses bias+leaky_relu into the conv epilogue and
-            # head_dot reads the tensor with zero relayout. The s=0
-            # packed gate is applied inside the kernel (an XLA gating
+            # so head_dot reads the tensor with zero relayout. The conv
+            # emits RAW output — its bias + leaky_relu epilogue runs
+            # inside head_dot (XLA materialized it as a separate 556 MB
+            # read+write pass, 1.5 ms at the flagship shape). The s=0
+            # packed gate is applied inside the kernel too (an XLA gating
             # multiply here measured 1.51 ms; an HNWC emission moved a
             # 1.65 ms retile into the lrelu fusion).
-            g4 = leaky_relu(jax.lax.conv_general_dilated(
+            g4 = jax.lax.conv_general_dilated(
                 g3.astype(dt), c30.astype(dt), (1, 1),
                 [(0, 1), (0, 1 + padw)],
                 dimension_numbers=("NHWC", "HWIO", "HWNC"),
-            ) + jnp.tile(b30, 4).astype(dt))
+            )
         elif use_fused:
             # emit the conv in HWNC logical order: its physical bytes equal
             # the NHWC conv's natural {3,0,2,1} layout, so the fused kernel
@@ -1136,7 +1180,8 @@ class DepthNet(nn.Module):
             )
 
             w64, b64 = embed_head_channels(wh[:, :, perm, :], bh)
-            pre64 = head_dot(g4, w64.astype(dt), b64, nw)  # [H, B, W, 64]
+            pre64 = head_dot(g4, w64.astype(dt), b64, nw,
+                             jnp.tile(b30, 4).astype(dt))  # [H, B, W, 64]
             flat = output_stage_x8(pre64, self.clamp_min, self.clamp_max,
                                    order="hbwc")
             return flat.reshape(

@@ -201,6 +201,53 @@ def o_branch_from_actv(actv_i, weight, dtype, alphas=None):
     return ob[..., :c], ob[..., c:]
 
 
+def o_branch_raw_hwnc(actv_i, weight, dtype, alphas):
+    """(1−α)-scaled, bias-free second o-branch conv emitted HWNC.
+
+    Producer half of the fused style+blend kernel
+    (``endosr/kernels/style_dot.py::style_blend_dot``): the [H,W,B,2C]
+    logical order's default layout equals the conv's natural bytes, so the
+    kernel reads it with zero relayout; bias and α scaling are folded into
+    the kernel's blended-bias operand / these weights.
+    """
+    _, w_ob, _ = weight
+    c = w_ob.shape[-1] // 2
+    w_ob = w_ob * (1.0 - alpha_vec(alphas, c, w_ob.dtype))
+    return jax.lax.conv_general_dilated(
+        actv_i, w_ob.astype(dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "HWNC"),
+    )
+
+
+def style_blend_chunk(shifted, v_list, weights, alphas, o_biases,
+                      convs_raw, dtype):
+    """Fused group modulation: style dot + (1−α)-scaled o-conv adds +
+    blended biases in ONE Pallas pass (``style_blend_dot``).
+
+    Same math as :func:`style_chunk_dot` with ``alphas`` (blend-fold)
+    followed by the per-instance ``+ conv2`` add, but the adds happen
+    in-VMEM: the per-instance blended-map fusions XLA materializes
+    (26 × ~208 µs at the ×8 flagship shape) disappear. Returns
+    [(γ_i, β_i), ...] — the FINAL blended modulations.
+    """
+    from endosr.kernels.style_dot import style_blend_dot
+
+    c = weights[0][2]["kernel"].shape[-1]
+    avs = [alpha_vec(a, c, v.dtype) for a, v in zip(alphas, v_list)]
+    v_list = [v * av[None, None, :] for v, av in zip(v_list, avs)]
+    v = jnp.concatenate(v_list, axis=-1)  # [B, 9K, G·2C]
+    biases = []
+    for i, w in enumerate(weights):
+        b_s = jnp.concatenate([w[2]["bias"].astype(dtype),
+                               w[3]["bias"].astype(dtype)])
+        biases.append(avs[i] * b_s + (1.0 - avs[i]) * o_biases[i].astype(dtype))
+    bias = jnp.concatenate(biases)
+    y = jnp.transpose(
+        style_blend_dot(shifted, v, tuple(convs_raw), bias), (2, 0, 1, 3))
+    halves = _split_channels(y, 2 * len(weights), c)
+    return [(halves[2 * i], halves[2 * i + 1]) for i in range(len(weights))]
+
+
 def precompute_style_v(weights, st, dtype):
     """Shared first stage of the lazy style branch.
 

@@ -133,7 +133,9 @@ def test_unsupported_configs_fall_back_to_per_shape():
     m.feed_data(_batch(13, 13))
     m.test()
     assert m.fake_SR.shape == (1, 52, 52, 3)
-    assert not hasattr(m, "_apply_bucket_jit") or m._apply_bucket_jit is None
+    # the masked bucket program was never invoked (per-shape fallback)
+    assert (m._apply_bucket_jit is None
+            or m._apply_bucket_jit._cache_size() == 0)
 
     o2 = _opt(bucket=None)
     o2["precision"] = "bf16c3"

@@ -217,7 +217,7 @@ def test_head_dot_kernel():
     g4r[:, :, WOUT:, :] = -2.75
     g4r = jnp.asarray(g4r).transpose(1, 2, 0, 3)
     want_r = np.asarray(head_dot_reference(g4r, w64, b64, WOUT))
-    got_r = np.asarray(_forward(g4r, w64, b64, WOUT, interpret=True))
+    got_r = np.asarray(_forward(g4r, w64, b64, None, WOUT, interpret=True))
     assert got_r.shape == (Hp - 1, B, WOUT, COUT)
     np.testing.assert_allclose(got_r, want_r, atol=2e-6)
     gr0 = jax.grad(lambda a, w, b: jnp.sum(head_dot(a, w, b, WOUT) ** 2),
@@ -228,3 +228,67 @@ def test_head_dot_kernel():
     for a, b in zip(gr0, gr1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-4)
+
+    # fused producer epilogue: raw conv input + in-kernel bias/leaky_relu
+    # must equal epilogue-then-head on the same raw tensor
+    pb = jnp.asarray(RNG.standard_normal((C4,)).astype(np.float32) * 0.2)
+    want_e = np.asarray(head_dot_reference(g4r, w64, b64, WOUT, pb, 0.2))
+    got_e = np.asarray(_forward(g4r, w64, b64, pb, WOUT, 0.2,
+                                interpret=True))
+    np.testing.assert_allclose(got_e, want_e, atol=2e-6)
+    y = g4r + pb.reshape(1, 1, 1, -1)
+    manual = np.asarray(head_dot_reference(
+        jnp.maximum(y, 0.2 * y), w64, b64, WOUT))
+    np.testing.assert_allclose(want_e, manual, atol=2e-6)
+    ge0 = jax.grad(
+        lambda a, w, b, p: jnp.sum(head_dot(a, w, b, WOUT, p) ** 2),
+        argnums=(0, 1, 2, 3))(g4r, w64, b64, pb)
+    ge1 = jax.grad(
+        lambda a, w, b, p: jnp.sum(
+            head_dot_reference(a, w, b, WOUT, p, 0.2) ** 2),
+        argnums=(0, 1, 2, 3))(g4r, w64, b64, pb)
+    for a, b in zip(ge0, ge1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-4)
+
+
+def test_style_blend_dot_kernel():
+    """Fused style+blend kernel (endosr/kernels/style_dot.py): interpret-mode
+    parity with the jnp twin, plus VJP to every operand (shifted, v, each
+    raw conv, bias)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.kernels.style_dot import (
+        _blend_forward,
+        style_blend_reference,
+        style_blend_supported,
+    )
+
+    B, H, W, J, C2, G2 = 2, 16, 16, 90, 128, 4
+    M = G2 * C2
+    assert style_blend_supported((B, H, W, J), M, G2)
+    sh = jnp.asarray(RNG.standard_normal((B, H, W, J)).astype(np.float32))
+    v = jnp.asarray(
+        RNG.standard_normal((B, J, M)).astype(np.float32) * 0.1)
+    convs = tuple(
+        jnp.asarray(RNG.standard_normal((H, W, B, C2)).astype(np.float32))
+        for _ in range(G2))
+    bias = jnp.asarray(RNG.standard_normal((M,)).astype(np.float32))
+    want = np.asarray(style_blend_reference(sh, v, convs, bias))
+    got = np.asarray(_blend_forward(sh, v, convs, bias, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    from endosr.kernels.style_dot import style_blend_dot
+
+    def loss_k(s, vv, cs, b):
+        return jnp.sum(style_blend_dot(s, vv, cs, b) ** 2)
+
+    def loss_r(s, vv, cs, b):
+        return jnp.sum(style_blend_reference(s, vv, cs, b) ** 2)
+
+    g0 = jax.grad(loss_k, argnums=(0, 1, 2, 3))(sh, v, convs, bias)
+    g1 = jax.grad(loss_r, argnums=(0, 1, 2, 3))(sh, v, convs, bias)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
