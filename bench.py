@@ -199,7 +199,12 @@ def main():
     @jax.jit
     def step(lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
-        return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
+        # chain scalar reads one contiguous output row: a strided
+        # ::64 sample made XLA relayout the 100 MB fp32 output for the
+        # slice (0.4 ms/step) — a cost real serving (D2H of the dense
+        # rows) never pays. out is a root either way, so every call
+        # still materializes the full frame.
+        return out, acc + jnp.sum(out[:, 0]) * 1e-12
 
     def run(n):
         acc = jnp.float32(0.0)

@@ -158,23 +158,32 @@ style_dot_hwbm.defvjp(_fwd, _bwd)
 # ``head_dot``), so no relayout feeds the kernel and the output transposes
 # back to BHWC as a bitcast.
 
-MCHUNK = 256  # lanes per in-kernel m-slice (bounds the f32 dot temp)
+MCHUNK = int(__import__("os").environ.get("ENDOSR_STYLE_MCHUNK", "512"))  # lanes per in-kernel m-slice
 BTH = 4       # rows per program (smaller than style_dot's TH: the G conv
               # operands + full-M output block all live in VMEM at once)
+
+
+def _pick_mchunk(m):
+    for c in (MCHUNK, 256, 128):
+        if m % c == 0:
+            return c
+    return None
 
 
 def style_blend_supported(shape, m, n_conv, itemsize=2) -> bool:
     b, h, w, j = shape
     c2 = m // n_conv
+    mc = _pick_mchunk(m)
+    if mc is None or mc % c2 != 0:
+        return False
     # VMEM budget model (double-buffered operand/output blocks + the f32
     # dot slice and its transpose temp), matching vmem_limit_bytes below
     vmem = (2 * b * BTH * w * j * itemsize          # shifted block
             + 2 * b * j * m * itemsize              # v (constant index)
             + 2 * n_conv * BTH * w * b * c2 * itemsize   # conv blocks
             + 2 * BTH * w * b * m * itemsize        # out block
-            + 2 * b * BTH * w * MCHUNK * 4 * 2)     # f32 dot + transpose
-    return (h % BTH == 0 and w % 8 == 0 and m % MCHUNK == 0
-            and MCHUNK % c2 == 0 and b <= 8
+            + 2 * b * BTH * w * mc * 4 * 2)         # f32 dot + transpose
+    return (h % BTH == 0 and w % 8 == 0 and b <= 8
             and vmem <= 95 * 1024 * 1024)
 
 
@@ -195,20 +204,21 @@ def _blend_kernel(s_ref, v_ref, b_ref, *rest):
     b, th, w = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
     m = o_ref.shape[3]
     c2 = conv_refs[0].shape[3]
-    per = MCHUNK // c2
+    mc = _pick_mchunk(m)
+    per = mc // c2
     flat = s_ref[...].reshape(b, th * w, s_ref.shape[3])
-    for k in range(m // MCHUNK):
+    for k in range(m // mc):
         y = jax.lax.dot_general(
-            flat, v_ref[:, :, k * MCHUNK:(k + 1) * MCHUNK],
+            flat, v_ref[:, :, k * mc:(k + 1) * mc],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )                                   # [B, TH·W, MCHUNK]
+        )                                   # [B, TH·W, mc]
         yt = jnp.transpose(
-            y.reshape(b, th, w, MCHUNK).astype(o_ref.dtype), (1, 2, 0, 3))
+            y.reshape(b, th, w, mc).astype(o_ref.dtype), (1, 2, 0, 3))
         cs = jnp.concatenate(
             [conv_refs[k * per + i][...] for i in range(per)], axis=-1)
-        o_ref[:, :, :, k * MCHUNK:(k + 1) * MCHUNK] = (
-            yt + cs + b_ref[0, k * MCHUNK:(k + 1) * MCHUNK]
+        o_ref[:, :, :, k * mc:(k + 1) * mc] = (
+            yt + cs + b_ref[0, k * mc:(k + 1) * mc]
             .astype(o_ref.dtype))
 
 

@@ -96,12 +96,19 @@ def _pk_gate(x, s, c):
 
     ``x`` is the packed [B, NH+1, NW+1, 4C] tensor; the row gate is built
     from NH and the column gate from NW so non-square grids are exact
-    (the reference forward is shape-agnostic, ``sftmd_arch.py:912-950``)."""
+    (the reference forward is shape-agnostic, ``sftmd_arch.py:912-950``).
+
+    Applied as ONE [H, W, 4] constant group mask on a lane-split view:
+    the two broadcast multiplies (row along H, col along W) measured 7×
+    over their bandwidth roofline at the 129² up1-chain shapes (round-3
+    profile); the combined mask is constant-folded and the multiply is a
+    single pass."""
     from endosr.nn.layers import packed_gate
 
     row, _ = packed_gate(x.shape[1] - 1, c, s, x.dtype)
     _, col = packed_gate(x.shape[2] - 1, c, s, x.dtype)
-    return x * row[None, :, None, :] * col[None, None, :, :]
+    m = row[:, None, :] * col[None, :, :]            # [H, W, 4C] constant
+    return x * m[None]
 
 
 def _pk_conv(x, w, b, s_in, s_out, pad, dt, interleaved=False):
@@ -410,8 +417,10 @@ class DepthNet(nn.Module):
     # modulations are one batched [B,HW,9K]×[B,9K,G·4C] dot (scheduled at
     # the group's first block via an optimization_barrier tie), so the
     # ~24 MB ``shifted`` mask stack is read once per group instead of once
-    # per SEAN instance. 1 = per-block dots.
-    style_chunk: int = 4
+    # per SEAN instance. 1 = per-block dots. 5 groups the 13 trunk blocks
+    # as (5,5,3) — three style_blend kernel launches instead of four
+    # (325.3 -> 327.9 fps/chip at the x8 flagship, v5e round 3).
+    style_chunk: int = 5
     # Pallas style-map dot (lazy mode): the group style matmul emits
     # [H,W,B,M]-logical output whose bytes ARE the conv activation layout,
     # so the relayout copy XLA's dot lowering pays (0.82 ms per group
@@ -420,6 +429,15 @@ class DepthNet(nn.Module):
     # (endosr/kernels/style_dot.py). "auto" = on for TPU-supported shapes
     # (the kernel self-falls-back to the einsum twin elsewhere).
     pallas_style: Any = "auto"
+    # Fused packed-chain kernel (endosr/kernels/packed_chain.py): the
+    # g1→g2→g3 stage prefix of BOTH phase-packed chains (up1 level and
+    # tail level) in one Pallas pass — g1/g2 live in VMEM, border gates
+    # apply in-register. XLA's unfused lowering paid 0.4–0.8 ms per gate
+    # fusion (several × bandwidth roofline) plus two full HBM round
+    # trips per chain (round-3 profile). Exact math (interpret-mode
+    # parity + the serving matrix); gradient-capable via the twin.
+    # "auto" = on (the kernel self-falls-back off-TPU / unsupported).
+    pallas_packed_chain: Any = "auto"
     # Fused style+blend group kernel (endosr/kernels/style_dot.py::
     # style_blend_dot): the group style dot, the (1−α)-scaled o-branch
     # conv2 adds and the blended biases in ONE Pallas pass per style
@@ -475,12 +493,15 @@ class DepthNet(nn.Module):
     # centered convs and exact bucketed eval).
     packed_tail: bool = True
     # Phase-packed up1-level chain (upscale1_3 / block15 / upscale2_0 as
-    # [2,2,4C,4C'] convs on the packed 129² grid). Exact (parity-tested)
-    # and 7% fewer FLOPs/frame, but measured SLOWER end-to-end on v5e
-    # (227.2 vs 235.1 fps/chip, bs8 ×8): the odd 129² spatial extent and
-    # per-stage border gates cost more than the saved MACs at 128-512
-    # channels. Kept as an A/B knob; default off.
-    packed_up1: bool = False
+    # [2,2,4C,4C'] convs on the packed 129² grid). Exact (parity-tested),
+    # 7% fewer FLOPs/frame, and it removes the mid-tail PixelShuffle
+    # materialization + relayout (1.2 ms at the flagship shape). Round 2
+    # measured it SLOWER (227.2 vs 235.1 fps/chip) because its packed-
+    # kernel builds ran as per-step scatters; with weight prep constant-
+    # folded under the fixed-weight serving jit (round 3) it WINS:
+    # 319.3 vs 304.5 fps/chip (bs8 ×8, v5e, tools/quick_fps.py). Default
+    # on since round 3.
+    packed_up1: bool = True
     # Fused packed-tail head (endosr/kernels/fused_tail.py): the folded
     # [3,3,512,48] head conv + clamp + PS(4) + f32 rows as ONE Pallas pass.
     # XLA's split lowering caps the head conv at 48/128 = 37.5% MXU lane
@@ -863,7 +884,9 @@ class DepthNet(nn.Module):
                  and (nb - 1) not in which)
 
         if self.scale == 8 and fold1:
-            h = leaky_relu(WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1))
+            # raw conv; the leaky_relu is applied per consumer path (the
+            # fused packed chain runs it in-kernel on its input strips)
+            h_pre = WNConv(64 * 4, 3, 1, 1, name="upscale1_0", **kw)(feat_add1)
             # upscale1_3 folded through the pending PS(2): 256→128 at LR².
             # WNConvParams registers the identical {v,g,bias} subtree a
             # WNConv child would, so checkpoints are unaffected.
@@ -883,20 +906,49 @@ class DepthNet(nn.Module):
                 # (formerly the mid-tail pixel_shuffle) reads the packed
                 # tensor's valid slots instead.
                 dtp = self.dtype
-                n1h, n1w = h.shape[1], h.shape[2]
+                n1h, n1w = h_pre.shape[1], h_pre.shape[2]
                 w13n, b13n = wn_effective_kernel(p13)
                 (w50, b50), (w52, b52) = blocks[nb - 2].effective_weights()
                 w20n, b20n = wn_effective_kernel(p20)
-                g1 = _pk_gate(leaky_relu(_pk_conv(
-                    h, w13n, b13n, 0, 1, [(1, 1), (1, 1)], dtp,
-                    interleaved=True)), 1, 32)
-                g2 = _pk_gate(nn.relu(_pk_conv(
-                    g1, w50, b50, 1, 0, [(0, 1), (0, 1)], dtp)), 0, 32)
-                g3 = _pk_gate(nn.relu(g1 + _pk_conv(
-                    g2, w52, b52, 0, 1, [(1, 0), (1, 0)], dtp)), 1, 32)
-                g4 = _pk_gate(leaky_relu(_pk_conv(
-                    g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp)),
-                    0, 128)
+                if (self.pallas_packed_chain
+                        if isinstance(self.pallas_packed_chain, bool)
+                        else True):
+                    # the whole packed up1 chain in ONE kernel: h's
+                    # leaky_relu on the input strips (pre_act), stages
+                    # 1–3 with in-register gates, and the UNGATED
+                    # stage-4 conv + leaky_relu (its s=0 gate zeroes
+                    # exactly the slots the interleave slice drops)
+                    from endosr.kernels.packed_chain import packed_g123
+                    from endosr.nn.layers import packed_stage_kernel as _psk
+
+                    g3h = packed_g123(
+                        jnp.transpose(h_pre.astype(dtp), (1, 2, 0, 3)),
+                        _psk(w13n, 0, 1, in_interleaved=True),
+                        jnp.tile(b13n, 4),
+                        _psk(w50, 1, 0), jnp.tile(b50, 4),
+                        _psk(w52, 0, 1), jnp.tile(b52, 4),
+                        None, None, True)
+                    g3 = jnp.transpose(g3h, (2, 0, 1, 3))
+                    # stage 4 stays in XLA: its [2,2,128,512] conv runs
+                    # near-roofline there; the absorbed variant measured
+                    # SLOWER (319.6 vs 323.0 fps/chip — per-row dots +
+                    # g3 scratch traffic cost more than the saved pass)
+                    g4 = leaky_relu(_pk_conv(
+                        g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp))
+                else:
+                    h = leaky_relu(h_pre)
+                    g1 = _pk_gate(leaky_relu(_pk_conv(
+                        h, w13n, b13n, 0, 1, [(1, 1), (1, 1)], dtp,
+                        interleaved=True)), 1, 32)
+                    g2 = _pk_gate(nn.relu(_pk_conv(
+                        g1, w50, b50, 1, 0, [(0, 1), (0, 1)], dtp)), 0, 32)
+                    g3 = _pk_gate(nn.relu(g1 + _pk_conv(
+                        g2, w52, b52, 0, 1, [(1, 0), (1, 0)], dtp)), 1, 32)
+                    # no gate on g4: the s=0 gate zeroes exactly row/col
+                    # n1 — the slots the [:n1h, :n1w] interleave slice
+                    # below drops
+                    g4 = leaky_relu(_pk_conv(
+                        g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp))
                 # interleave the packed (unshifted) grid to the real fine
                 # grid: z[2Y+a, 2X+b, o] = g4[Y, X, (a·2+b)·128 + o]
                 gv = g4[:, :n1h, :n1w, :].reshape(
@@ -904,6 +956,7 @@ class DepthNet(nn.Module):
                 z = gv.transpose(0, 1, 3, 2, 4, 5).reshape(
                     g4.shape[0], 2 * n1h, 2 * n1w, 128)
             else:
+                h = leaky_relu(h_pre)
                 w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
                 z = leaky_relu(_conv_dt(_m(h), w13, b13, cc_dt, centered=cc))
                 # classic block 15 (blocks[nb-2]) folded by 2
@@ -1046,10 +1099,13 @@ class DepthNet(nn.Module):
         def gate(G, s, c):
             # row gate from the packed H dim, column gate from the packed
             # W dim — non-square grids are exact (regression: round-2 HEAD
-            # built both from z.shape[1] and crashed every H≠W ×8 forward)
+            # built both from z.shape[1] and crashed every H≠W ×8 forward).
+            # One constant [H, W, 4] group mask on a lane-split view (see
+            # _pk_gate) instead of two broadcast multiplies.
             row, _ = packed_gate(G.shape[1] - 1, c, s, G.dtype)
             _, col = packed_gate(G.shape[2] - 1, c, s, G.dtype)
-            return G * row[None, :, None, :] * col[None, None, :, :]
+            m = row[:, None, :] * col[None, :, :]
+            return G * m[None]
 
         def pconv(x, k, pad, bias):
             return jax.lax.conv_general_dilated(
@@ -1060,15 +1116,30 @@ class DepthNet(nn.Module):
         w23, b23 = wn_effective_kernel(p23)
         (wc0, bc0), (wc2, bc2) = block16.effective_weights()
 
-        g1 = gate(leaky_relu(pconv(
-            z, packed_stage_kernel(w23, 0, 1, in_interleaved=True),
-            [(1, 1), (1, 1)], b23)), 1, 32)
-        g2 = gate(nn.relu(pconv(
-            g1, packed_stage_kernel(wc0, 1, 0), [(0, 1), (0, 1)], bc0)),
-            0, 32)
-        g3 = gate(nn.relu(g1 + pconv(
-            g2, packed_stage_kernel(wc2, 0, 1), [(1, 0), (1, 0)], bc2)),
-            1, 32)
+        if (self.pallas_packed_chain
+                if isinstance(self.pallas_packed_chain, bool) else True):
+            # fused g1→g2→g3 (endosr/kernels/packed_chain.py): one read
+            # of z, one write of g3, gates in-register; the transposes
+            # are bitcasts (HWNC bytes = the conv activation layout)
+            from endosr.kernels.packed_chain import packed_g123
+
+            g3h = packed_g123(
+                jnp.transpose(z.astype(dt), (1, 2, 0, 3)),
+                packed_stage_kernel(w23, 0, 1, in_interleaved=True),
+                jnp.tile(b23, 4),
+                packed_stage_kernel(wc0, 1, 0), jnp.tile(bc0, 4),
+                packed_stage_kernel(wc2, 0, 1), jnp.tile(bc2, 4))
+            g3 = jnp.transpose(g3h, (2, 0, 1, 3))
+        else:
+            g1 = gate(leaky_relu(pconv(
+                z, packed_stage_kernel(w23, 0, 1, in_interleaved=True),
+                [(1, 1), (1, 1)], b23)), 1, 32)
+            g2 = gate(nn.relu(pconv(
+                g1, packed_stage_kernel(wc0, 1, 0), [(0, 1), (0, 1)], bc0)),
+                0, 32)
+            g3 = gate(nn.relu(g1 + pconv(
+                g2, packed_stage_kernel(wc2, 0, 1), [(1, 0), (1, 0)], bc2)),
+                1, 32)
 
         p30 = self.param(
             "upscale3_0",
@@ -1430,24 +1501,24 @@ class DepthNet(nn.Module):
 DEPTHNET_PRESETS = {
     # ×8/×4 serving (pair with ``precision: bf16``): phase-packed ×8 tail,
     # tap-stacked head + v3 output stage auto-enabled on qualifying shapes.
-    "serve": dict(packed_tail=True, packed_up1=False, pallas_tail=False,
+    "serve": dict(packed_tail=True, packed_up1=True, pallas_tail=False,
                   pallas_head="auto", pallas_output="auto",
-                  pallas_style="auto", lazy_branches=True, style_chunk=4,
+                  pallas_style="auto", lazy_branches=True, style_chunk=5,
                   blend_fold=False, remat_blocks=False),
     # ×2/×3 serving (pair with ``precision: bf16c3`` — ≥50 dB certified
     # where plain bf16 fails the 0.05 dB budget, tests/test_bf16_quality.py).
     # Same graph knobs; the centered-conv mode is set by ``precision``.
-    "serve_bf16c3": dict(packed_tail=True, packed_up1=False,
+    "serve_bf16c3": dict(packed_tail=True, packed_up1=True,
                          pallas_tail=False, pallas_head="auto",
                          pallas_output="auto", pallas_style="auto",
-                         lazy_branches=True, style_chunk=4,
+                         lazy_branches=True, style_chunk=5,
                          blend_fold=False, remat_blocks=False),
     # flagship training (the measured train-step config; the model layer
     # additionally forces pallas_output=True inside its train-step clone —
     # endosr/models/f_depthcond.py:_build_train_step).
-    "train": dict(packed_tail=True, packed_up1=False, pallas_tail=False,
+    "train": dict(packed_tail=True, packed_up1=True, pallas_tail=False,
                   pallas_head="auto", pallas_output="auto",
-                  pallas_style="auto", lazy_branches=True, style_chunk=4,
+                  pallas_style="auto", lazy_branches=True, style_chunk=5,
                   blend_fold=False, remat_blocks=False),
     # reference-faithful debugging: every fast path off (dense folds,
     # XLA-only epilogues) — the slowest, most transparent graph.

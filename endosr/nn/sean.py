@@ -27,10 +27,12 @@ Layout is NHWC; the style matrix is [B, K, L] (K depth bins, L latent).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from endosr.nn.layers import Conv, ConvTranspose, instance_norm, torch_conv_init
@@ -369,6 +371,19 @@ def shifted_mask_stack(depth_mask, dtype):
     """
     h, w = depth_mask.shape[1], depth_mask.shape[2]
     m = depth_mask.astype(dtype)
+    k = m.shape[-1]
+    if os.environ.get("ENDOSR_STACK_CONV"):
+        # one 0/1 conv instead of 9 pad/slice fusions + a lane-unaligned
+        # concat (the K=10 channel offsets defeat lane tiling — the
+        # pad/slice+concat build measured 0.66 ms at the flagship shape)
+        eye = np.zeros((3, 3, k, 9 * k), np.float32)
+        for dy in range(3):
+            for dx in range(3):
+                for kk in range(k):
+                    eye[dy, dx, kk, (dy * 3 + dx) * k + kk] = 1.0
+        return jax.lax.conv_general_dilated(
+            m, jnp.asarray(eye, dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return jnp.concatenate(
         [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],

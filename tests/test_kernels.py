@@ -292,3 +292,55 @@ def test_style_blend_dot_kernel():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-3)
+
+
+def test_packed_chain_kernel():
+    """Fused packed-stage chain (endosr/kernels/packed_chain.py):
+    interpret-mode parity with the jnp twin — plain g1→g3, ragged row
+    grid, pre_act + absorbed stage-4 — plus VJP to every operand.
+    Tolerances reflect tap-dot vs conv accumulation order through up to
+    four chained stages (fp32; verified noise, not structure — the
+    in-kernel stage-4 is exact vs the kernel's own g3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from endosr.kernels.packed_chain import (
+        _forward,
+        packed_g123,
+        packed_g123_reference,
+        packed_g123_supported,
+    )
+
+    rng = np.random.default_rng(0)
+    Nx, Mx, B, Cin4, C4, C4O = 24, 20, 2, 128, 128, 256
+    x = jnp.asarray(rng.standard_normal((Nx, Mx, B, Cin4)).astype(np.float32) * 0.1)
+    k1 = jnp.asarray(rng.standard_normal((2, 2, Cin4, C4)).astype(np.float32) * 0.05)
+    k2 = jnp.asarray(rng.standard_normal((2, 2, C4, C4)).astype(np.float32) * 0.05)
+    k3 = jnp.asarray(rng.standard_normal((2, 2, C4, C4)).astype(np.float32) * 0.05)
+    k4 = jnp.asarray(rng.standard_normal((2, 2, C4, C4O)).astype(np.float32) * 0.05)
+    b1, b2, b3 = (jnp.asarray(rng.standard_normal((C4,)).astype(np.float32) * 0.1)
+                  for _ in range(3))
+    b4 = jnp.asarray(rng.standard_normal((C4O,)).astype(np.float32) * 0.1)
+    assert packed_g123_supported((256, 256, 8, 128), 128, 2)
+    assert packed_g123_supported((128, 128, 8, 256), 128, 2, 512)
+
+    want = np.asarray(packed_g123_reference(x, k1, b1, k2, b2, k3, b3))
+    got = np.asarray(_forward(x, k1, b1, k2, b2, k3, b3, interpret=True))
+    assert got.shape == (Nx + 1, Mx + 1, B, C4)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+    want4 = np.asarray(packed_g123_reference(
+        x, k1, b1, k2, b2, k3, b3, k4, b4, True))
+    got4 = np.asarray(_forward(
+        x, k1, b1, k2, b2, k3, b3, k4, b4, True, interpret=True))
+    assert got4.shape == (Nx + 1, Mx + 1, B, C4O)
+    np.testing.assert_allclose(got4, want4, atol=2e-3)
+
+    g0 = jax.grad(lambda *a: jnp.sum(packed_g123(*a, pre_act=True) ** 2),
+                  argnums=tuple(range(9)))(x, k1, b1, k2, b2, k3, b3, k4, b4)
+    g1_ = jax.grad(
+        lambda *a: jnp.sum(packed_g123_reference(*a, pre_act=True) ** 2),
+        argnums=tuple(range(9)))(x, k1, b1, k2, b2, k3, b3, k4, b4)
+    for a, b in zip(g0, g1_):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-2)

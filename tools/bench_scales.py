@@ -97,16 +97,20 @@ def main():
             if params is None:
                 params = net.init(jax.random.PRNGKey(0), lq, dep, mk)["params"]
 
+            # serving methodology (matches bench.py round 3): weights
+            # closed over as compile-time constants (weight prep folds at
+            # compile) and the SR frame materialized as a root
             @jax.jit
-            def step(params, lq, acc, net=net, dep=dep, mk=mk):
-                out = net.apply({"params": params}, lq + acc * 0.0, dep, mk)
-                return acc + jnp.mean(out) * 1e-12
+            def step(lq, acc, net=net, dep=dep, mk=mk, params_=None):
+                p = params if params_ is None else params_
+                out = net.apply({"params": p}, lq + acc * 0.0, dep, mk)
+                return out, acc + jnp.sum(out[:, 0]) * 1e-12
 
             def run(n):
                 acc = jnp.float32(0.0)
                 t0 = time.perf_counter()
                 for _ in range(n):
-                    acc = step(params, lq, acc)
+                    _, acc = step(lq, acc)
                 v = jax.device_get(acc)
                 assert np.isfinite(v)
                 return time.perf_counter() - t0

@@ -52,20 +52,20 @@ def main():
     params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
 
     @jax.jit
-    def step(params, lq, depth, masks, acc):
+    def step(lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
         return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
 
     acc = jnp.float32(0.0)
     for _ in range(3):  # compile + warm
-        _, acc = step(params, lq, depth, masks, acc)
+        _, acc = step(lq, depth, masks, acc)
     jax.device_get(acc)
 
     tdir = "/tmp/fusion_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
         for _ in range(n_iters):
-            _, acc = step(params, lq, depth, masks, acc)
+            _, acc = step(lq, depth, masks, acc)
         jax.device_get(acc)
 
     paths = glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz")
@@ -98,7 +98,7 @@ def main():
 
     # map trace op names (fusion.N / copy.N / ...) to their HLO definition:
     # root instruction + operand shapes, from the compiled module text
-    hlo = step.lower(params, lq, depth, masks, acc).compile().as_text()
+    hlo = step.lower(lq, depth, masks, acc).compile().as_text()
     defs: dict[str, str] = {}
     cur = None
     body: list[str] = []

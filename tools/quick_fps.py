@@ -48,15 +48,15 @@ def main():
     params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
 
     @jax.jit
-    def step(params, lq, depth, masks, acc):
+    def step(lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
-        return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
+        return out, acc + jnp.sum(out[:, 0] if os.environ.get('CHAIN_ROW') else out[:, ::64, ::64, :]) * 1e-12
 
     def run(n):
         acc = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(n):
-            _, acc = step(params, lq, depth, masks, acc)
+            _, acc = step(lq, depth, masks, acc)
         v = jax.device_get(acc)
         assert np.isfinite(v)
         return time.perf_counter() - t0
