@@ -74,7 +74,10 @@ def main():
                               remat_blocks=True),
     }
 
+    only = os.environ.get("SCALES_ONLY")  # "scale:mode" single-run child
     for scale, lr, latent, b in CONFIGS:
+        if only and int(only.split(":")[0]) != scale:
+            continue
         rng = np.random.default_rng(0)
         lq = jnp.asarray(rng.random((b, lr, lr, 3), dtype=np.float32))
         dep = jnp.asarray(rng.random((b, lr, lr, 1), dtype=np.float32))
@@ -89,6 +92,8 @@ def main():
                                              "bf16c3", "bf16",
                                              "bf16c3_nohoist",
                                              "mixed_nohoist"]
+        if only:
+            modes = [only.split(":")[1]]
         params = None
         for mode in modes:
             net = DepthNet(which_resblk_depth=tuple(range(14)), scale=scale,
@@ -115,9 +120,16 @@ def main():
                 assert np.isfinite(v)
                 return time.perf_counter() - t0
 
-            run(2)
-            t1 = min(run(4) for _ in range(3))
-            t2 = min(run(14) for _ in range(3))
+            try:
+                run(2)
+                t1 = min(run(4) for _ in range(3))
+                t2 = min(run(14) for _ in range(3))
+            except Exception as e:  # noqa: BLE001 — e.g. fp32 512² OOM
+                print(json.dumps({
+                    "scale": scale, "lr_size": lr, "latent": latent,
+                    "batch": b, "mode": mode,
+                    "error": type(e).__name__}), flush=True)
+                continue
             per = (t2 - t1) / 10
             print(json.dumps({
                 "scale": scale, "lr_size": lr, "latent": latent, "batch": b,
@@ -127,5 +139,35 @@ def main():
             }), flush=True)
 
 
+def drive():
+    """One subprocess per (scale, mode): a TPU RESOURCE_EXHAUSTED poisons
+    the whole client process, so fault isolation needs process isolation
+    (the x2 512-squared fp32 diagnostic OOMs by design)."""
+    import subprocess
+
+    jobs = []
+    for scale, _, _, _ in CONFIGS:
+        modes = ["bf16"] if scale >= 4 else ["fp32", "mixed", "bf16c",
+                                             "bf16c3", "bf16",
+                                             "bf16c3_nohoist",
+                                             "mixed_nohoist"]
+        jobs += [f"{scale}:{m}" for m in modes]
+    for job in jobs:
+        env = dict(os.environ, SCALES_ONLY=job)
+        r = subprocess.run([sys.executable, __file__, "--child"],
+                           env=env, capture_output=True, text=True,
+                           timeout=1200)
+        out = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if out:
+            print("\n".join(out), flush=True)
+        else:
+            sc, m = job.split(":")
+            print(json.dumps({"scale": int(sc), "mode": m,
+                              "error": f"rc={r.returncode}"}), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        drive()
