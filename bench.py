@@ -133,9 +133,9 @@ def main():
             _emit(fail_json(
                 f"deadline {deadline:.0f}s hit during phase "
                 f"'{state['phase']}'"))
-        else:
-            _note(f"deadline hit during enrichment phase "
-                  f"'{state['phase']}' — keeping the printed headline")
+            os._exit(1)  # no valid headline — fail the process too
+        _note(f"deadline hit during enrichment phase "
+              f"'{state['phase']}' — keeping the printed headline")
         os._exit(0)
 
     threading.Thread(target=watchdog, daemon=True).start()
@@ -237,6 +237,10 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ref, 3),
         "baseline_fps": ref,
+        # the denominator is a documented V100-class ESTIMATE anchored by
+        # a measured CPU run of the reference torch model (the reference
+        # publishes no numbers) — see module docstring / BASELINE.md
+        "baseline_basis": "V100-class estimate (BASELINE_MEASURED.json)",
         "device_kind": kind,
     }
     _emit(headline)

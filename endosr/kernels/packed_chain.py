@@ -309,6 +309,15 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
                           or not packed_g123_supported(
                               x_hwnc.shape, c4,
                               jnp.dtype(x_hwnc.dtype).itemsize, c4o)):
+        if not interpret and jax.default_backend() == "tpu":
+            from endosr.kernels.warn import warn_kernel_drop
+
+            warn_kernel_drop(
+                "packed_g123",
+                f"x shape {tuple(x_hwnc.shape)} "
+                f"dtype={jnp.dtype(x_hwnc.dtype).name} fails the support "
+                "gate (batch>8, channel alignment or VMEM budget): packed "
+                "chain runs as unfused XLA stages")
         return packed_g123_reference(x_hwnc, k1, b1, k2, b2, k3, b3,
                                      k4, b4, pre_act)
     from jax.experimental import pallas as pl

@@ -236,8 +236,9 @@ def _blend_forward(shifted, v, convs, bias, interpret=False):
     b, h, w, j = shifted.shape
     m = v.shape[2]
     if not interpret and (jax.default_backend() != "tpu"
-                          or not style_blend_supported(shifted.shape, m,
-                                                       len(convs))):
+                          or not style_blend_supported(
+                              shifted.shape, m, len(convs),
+                              itemsize=jnp.dtype(shifted.dtype).itemsize)):
         return style_blend_reference(shifted, v, convs, bias)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -169,16 +169,44 @@ class FModelDepthCond(BaseModel):
         self._serving_params = None
         self._apply_jit = None
         self._apply_bucket_jit = None
+        self._param_apply_jit = None
+        self._param_bucket_jit = None
+        self._spatial_jits = {}
         self.log_dict = {}
 
     def _refresh_serving_jits(self):
-        """(Re)build the serving jits with the CURRENT weights closed over
-        as compile-time constants. Serving never re-prepares weights per
-        frame — with params as constants, XLA folds the weight-norm
+        """(Re)build the serving jits.
+
+        Pure serving (``is_train`` False): the CURRENT weights are closed
+        over as compile-time constants — serving never re-prepares weights
+        per frame; with params as constants, XLA folds the weight-norm
         normalizations, the packed-kernel builds and the bias tiles at
         compile time (round-3 profile: ~2.5 ms/step of per-call weight
         prep at the ×8 flagship shape). Re-traced only when the loaded
-        params object changes (e.g. after ``load()`` or a state swap)."""
+        params object changes (e.g. after ``load()`` or a state swap).
+
+        Training (validation calls during the loop): every optimizer step
+        produces a NEW params object, so constant-folding would recompile
+        the full validation program each round (and could serve stale
+        weights after an in-place pytree mutation). Here params stay a
+        traced jit ARGUMENT — one compile per shape for the whole run.
+        """
+        if self.is_train:
+            if self._param_apply_jit is None:
+                self._param_apply_jit = jax.jit(
+                    lambda p, lq, d, m: self.netG.apply(
+                        {"params": p}, lq, d, m))
+                self._param_bucket_jit = jax.jit(
+                    lambda p, lq, d, m, pmk, hv, wv: self.netG.apply(
+                        {"params": p}, lq, d, m, valid_hw=(hv, wv),
+                        pool_mask=pmk))
+            import functools
+
+            p = self.state.params["netG"]
+            self._apply_jit = functools.partial(self._param_apply_jit, p)
+            self._apply_bucket_jit = functools.partial(
+                self._param_bucket_jit, p)
+            return
         p = self.state.params["netG"]
         if self._serving_params is p:
             return
@@ -330,6 +358,47 @@ class FModelDepthCond(BaseModel):
                 np.save(f"./tmp/sr_{i}.npy", np.asarray(sr_disp[i]))
                 np.save(f"./tmp/hr_{i}.npy", np.asarray(hr_disp[i]))
 
+    def _spatial_bucket_apply(self, n):
+        """Bucketed-eval forward H-sharded over an ``n``-device mesh.
+
+        The serving-surface route into ``endosr/parallel/spatial.py``'s
+        layout (YAML ``spatial_shard: N``): inputs padded to the bucket
+        shape carry ``P(None, 'data')`` on H, params are replicated (and
+        stay a traced argument — the spatial path exists to FIT a program,
+        not to peak it, so no weight constant-folding), and XLA's SPMD
+        partitioner inserts the conv halo exchanges and the psums behind
+        the valid-masked InstanceNorm statistics. Use case: whole-image
+        shapes whose one-chip program OOMs — the ×2 512² fp32 case
+        (BASELINE.md) that the reference evals on one GPU
+        (``codes/test.py:62-137``).
+        """
+        if self._spatial_jits.get(n) is None:
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from endosr.parallel.mesh import make_mesh
+
+            devs = _jax.devices()
+            if len(devs) < n:
+                raise ValueError(
+                    f"spatial_shard: {n} needs {n} devices, have {len(devs)}")
+            mesh = make_mesh(devs[:n])
+            s = NamedSharding(mesh, P(None, "data"))
+            rep = NamedSharding(mesh, P())
+            self._spatial_jits[n] = jax.jit(
+                lambda p, lq, d, m, pmk, hv, wv: self.netG.apply(
+                    {"params": p}, lq, d, m, valid_hw=(hv, wv),
+                    pool_mask=pmk),
+                in_shardings=(rep, s, s, s, s, rep, rep),
+                out_shardings=s,
+            )
+            logger.warning(
+                "spatial_shard: whole-image eval runs H-sharded over %d "
+                "devices (halo exchanges + masked-IN psums over ICI)", n)
+        fn = self._spatial_jits[n]
+        p = self.state.params["netG"]
+        return lambda *args: fn(p, *args)
+
     def test(self):
         b = self.batch
         lq, dep, masks = b["LQ"], b["Depth"], b["DepthMaskList"]
@@ -363,10 +432,26 @@ class FModelDepthCond(BaseModel):
                     "eval bucketing disabled for this network config "
                     "(ablation / fused epilogue / centered bf16c): falling "
                     "back to one XLA compile per input shape")
+        # Optional spatial (H) sharding for whole-image shapes that OOM one
+        # chip (YAML ``spatial_shard: N`` — e.g. ×2 512² fp32). Runs on the
+        # exact bucketed path: the bucket multiple is raised to lcm(bucket,
+        # 4·N) so padded H divides the mesh with ≥4 rows per shard (the
+        # ``endosr/parallel/spatial.py`` min-rows guard — below that XLA's
+        # nearest-neighbor halo exchange corrupts stride-2 convs).
+        nsp = int(self.opt.get("spatial_shard") or 0)
+        if nsp > 1 and not bucket:
+            nsp = 0
+            if not getattr(self, "_warned_spatial_fallback", False):
+                self._warned_spatial_fallback = True
+                logger.warning(
+                    "spatial_shard ignored: it requires the exact bucketed "
+                    "eval path, which is disabled for this network config "
+                    "(ablation / fused epilogue / centered bf16c)")
         h, w = lq.shape[1], lq.shape[2]
         if bucket:
             bucket = -(-bucket // 4) * 4  # masked path needs H,W % 4 == 0
-            hb = -(-h // bucket) * bucket
+            hmult = int(np.lcm(bucket, 4 * nsp)) if nsp > 1 else bucket
+            hb = -(-h // hmult) * hmult
             wb = -(-w // bucket) * bucket
             pad = ((0, 0), (0, hb - h), (0, wb - w), (0, 0))
             lqp = np.pad(lq, pad)
@@ -376,9 +461,14 @@ class FModelDepthCond(BaseModel):
             v3h, v3w = (v2h + 1) // 2, (v2w + 1) // 2
             pm = pool_mask_np(np.asarray(masks), (v3h, v3w),
                               (hb // 4, wb // 4))
-            self._refresh_serving_jits()
-            sr = np.asarray(self._apply_bucket_jit(
-                lqp, depp, maskp, pm, np.int32(h), np.int32(w)))
+            if nsp > 1:
+                apply_fn = self._spatial_bucket_apply(nsp)
+                sr = np.asarray(jax.device_get(apply_fn(
+                    lqp, depp, maskp, pm, np.int32(h), np.int32(w))))
+            else:
+                self._refresh_serving_jits()
+                sr = np.asarray(self._apply_bucket_jit(
+                    lqp, depp, maskp, pm, np.int32(h), np.int32(w)))
         else:
             self._refresh_serving_jits()
             sr = np.asarray(self._apply_jit(lq, dep, masks))

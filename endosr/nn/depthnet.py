@@ -66,6 +66,8 @@ from endosr.nn.sean import (
 )
 from endosr.ops.resize import interpolate_bilinear, interpolate_nearest
 
+from endosr.kernels.warn import warn_kernel_drop as _warn_kernel_drop
+
 
 def _conv_dt(x, w, b, dtype, pad=None, centered=0):
     """SAME-ish conv in compute dtype from an fp32 kernel + bias.
@@ -462,7 +464,11 @@ class DepthNet(nn.Module):
     # (232.3 vs 235.5 fps/chip — within run noise): XLA already folds the
     # blend into the consumer fusions, so halving the nominal map count
     # doesn't change scheduled HBM traffic. Default off; kept as an A/B
-    # knob for other shapes/hardware.
+    # knob for other shapes/hardware. NOTE: ``pallas_style_blend`` (default
+    # "auto") SUPERSEDES this knob on qualifying lazy-mode shapes — the
+    # fused style+blend kernel applies the same blend-fold reassociation
+    # by construction regardless of ``blend_fold``; to A/B the
+    # unreassociated numerics set ``pallas_style_blend=False`` too.
     blend_fold: bool = False
     # Pallas fused o-branch (conv1+relu+conv2 per VMEM tile) for the hoisted
     # SEAN depth-map branch — the network's single largest op. Measured
@@ -775,8 +781,16 @@ class DepthNet(nn.Module):
 
                 m_total = sum(lazy_s[i][0].shape[2] + lazy_s[i][2].shape[2]
                               for i in ids)
-                fuse_blend = style_blend_supported(sh.shape, m_total,
-                                                   2 * len(ids))
+                fuse_blend = style_blend_supported(
+                    sh.shape, m_total, 2 * len(ids),
+                    itemsize=jnp.dtype(sh.dtype).itemsize)
+                if not fuse_blend and jax.default_backend() == "tpu":
+                    _warn_kernel_drop(
+                        "style_blend_dot",
+                        f"shape {tuple(sh.shape)} M={m_total} "
+                        f"dtype={jnp.dtype(sh.dtype).name} (batch>8 or "
+                        "VMEM budget): per-instance blended-map adds fall "
+                        "back to XLA fusions")
             if fuse_blend:
                 v_list, w_list, a_list, ob_list, convs = [], [], [], [], []
                 for i in ids:
@@ -1183,6 +1197,13 @@ class DepthNet(nn.Module):
                                               order="hbwc"))
             if use_head:
                 padw = hpadw
+            elif jax.default_backend() == "tpu":
+                _warn_kernel_drop(
+                    "head_dot/output_stage_x8",
+                    f"tail shape (nh={nh}, nw={nw}, b={z.shape[0]}, "
+                    f"dtype={jnp.dtype(dt).name}) fails the support gate "
+                    "(batch>8, alignment or VMEM budget): head conv + "
+                    "interleave fall back to the XLA path")
 
         c30 = packed_stage_kernel(w30, 1, 0)
         if use_head:

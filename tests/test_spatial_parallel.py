@@ -111,3 +111,47 @@ def test_spatial_jit_generic_fn(mesh):
     (sx,) = shard_spatial((x,), mesh, min_rows=2)
     got = np.asarray(jax.device_get(call(w, sx)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_spatial_shard_serving_surface(mesh):
+    """YAML ``spatial_shard: N`` routes FModelDepthCond.test() through the
+    H-sharded bucketed-eval program and matches the single-device path —
+    the serving escape for whole-image shapes that OOM one chip (the ×2
+    512² fp32 case, BASELINE.md)."""
+    from endosr.config.options import dict_to_nonedict
+    from endosr.models.f_depthcond import FModelDepthCond
+
+    k = 10
+    opt = dict_to_nonedict({
+        "is_train": False,
+        "model": "sftmd_depthCond",
+        "scale": 2,
+        "datasets": {"test": {"phase": "test", "depthMaskNum": k,
+                              "LR_size": 16}},
+        "network_G": {"which_model_G": "DepthNet", "in_nc": 3, "out_nc": 3,
+                      "nf": 64, "nb": 16, "depth_latent_ch": 32,
+                      "use_trainable_params": True,
+                      "norm_gamma": 0, "norm_beta": 0,
+                      "which_ResBlk_depth": [0, 1]},
+        "path": {},
+        "spatial_shard": 8,
+        "eval_bucket_multiple": 4,
+    })
+    model = FModelDepthCond(opt, mesh=mesh)
+    rng = np.random.default_rng(3)
+    h, w = 30, 18  # bucket- and mesh-misaligned on purpose
+    batch = {
+        "LQ": rng.random((1, h, w, 3)).astype(np.float32),
+        "Depth": rng.random((1, h, w, 1)).astype(np.float32),
+        "DepthMaskList": (rng.random((1, h, w, k)) > 0.9).astype(np.float32),
+    }
+    model.feed_data(batch)
+    model.test()
+    sharded = np.asarray(model.fake_SR)
+    assert sharded.shape == (1, 2 * h, 2 * w, 3)
+
+    model.opt["spatial_shard"] = 0
+    model.test()
+    single = np.asarray(model.fake_SR)
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-4)
