@@ -57,6 +57,33 @@ def _u8_cast(x):
     return x
 
 
+def _chunked_serving_fn(netG, p, chunk):
+    """Serving forward that splits batches > ``chunk`` into ``chunk``-sized
+    sub-forwards inside ONE jitted program (exact: every op in the network
+    is per-sample, so a batch split + concat is the identical math).
+
+    Why: the b≤8 Pallas kernels (head_dot, style_blend, packed chains) are
+    where the serving speed lives — bs16 through one b=16 program drops
+    them all (328 → 271 fps/chip measured, round 3) while two chained b=8
+    sub-forwards keep them. bs8 is the certified per-chip optimum
+    (BASELINE.md batch sweep), so larger serving batches default to
+    chunked execution; ``serve_batch_chunk: 0`` disables.
+    """
+
+    def fwd(lq, d, m):
+        b = lq.shape[0]
+        if chunk and b > chunk and b % chunk == 0:
+            outs = [
+                netG.apply({"params": p}, lq[i:i + chunk],
+                           d[i:i + chunk], m[i:i + chunk])
+                for i in range(0, b, chunk)
+            ]
+            return jnp.concatenate(outs, axis=0)
+        return netG.apply({"params": p}, lq, d, m)
+
+    return fwd
+
+
 class FModelDepthCond(BaseModel):
     def __init__(self, opt, mesh=None):
         super().__init__(opt)
@@ -211,8 +238,9 @@ class FModelDepthCond(BaseModel):
         if self._serving_params is p:
             return
         self._serving_params = p
-        self._apply_jit = jax.jit(
-            lambda lq, d, m: self.netG.apply({"params": p}, lq, d, m))
+        chunk = self.opt.get("serve_batch_chunk")
+        chunk = 8 if chunk is None else int(chunk)
+        self._apply_jit = jax.jit(_chunked_serving_fn(self.netG, p, chunk))
         self._apply_bucket_jit = jax.jit(
             lambda lq, d, m, pmk, hv, wv: self.netG.apply(
                 {"params": p}, lq, d, m, valid_hw=(hv, wv), pool_mask=pmk))

@@ -1469,7 +1469,9 @@ class DepthNet(nn.Module):
         cc_dt = jnp.bfloat16 if cc else self.dtype
 
         def _m(t):
-            return t if vmask is None else t * vmask
+            # cast the mask: bf16 * f32 would silently promote the stream
+            # (and crash the raw convs in _phase_split_head on mixed dtypes)
+            return t if vmask is None else t * vmask.astype(t.dtype)
 
         cin30 = z.shape[-1] // (r * r)
         p30 = self.param(

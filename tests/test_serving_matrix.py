@@ -91,3 +91,30 @@ def test_valid_hw_masked_matches_cropped(fixture):
         np.pad(np.asarray(dep), pad), np.pad(np.asarray(mk), pad),
         valid_hw=(jnp.int32(H), jnp.int32(W)), pool_mask=pm))
     np.testing.assert_allclose(out[:, :H * 8, :W * 8], oracle, atol=2e-5)
+
+
+def test_bs16_chunked_serving_matches_direct(fixture):
+    """Batches > 8 serve as chained b=8 sub-forwards inside one jit
+    (``f_depthcond._chunked_serving_fn``) so the b≤8 Pallas kernels don't
+    silently vanish (bs16 through one program measured 328 → 271 fps/chip).
+    The split is exact — every network op is per-sample."""
+    from endosr.models.f_depthcond import _chunked_serving_fn
+
+    lq, dep, mk, params, _ = fixture
+    reps = (16, 1, 1, 1)
+    lq16 = jnp.tile(lq, reps) * jnp.linspace(
+        0.5, 1.0, 16, dtype=jnp.float32)[:, None, None, None]
+    dep16, mk16 = jnp.tile(dep, reps), jnp.tile(mk, reps)
+    net = DepthNet(**KW)
+    direct = np.asarray(net.apply({"params": params}, lq16, dep16, mk16))
+    chunked = np.asarray(
+        _chunked_serving_fn(net, params, 8)(lq16, dep16, mk16))
+    np.testing.assert_allclose(chunked, direct, atol=1e-6)
+
+    # non-dividing batches fall through to the single program
+    lq12, dep12, mk12 = lq16[:12], dep16[:12], mk16[:12]
+    whole = np.asarray(
+        _chunked_serving_fn(net, params, 8)(lq12, dep12, mk12))
+    np.testing.assert_allclose(
+        whole, np.asarray(net.apply({"params": params}, lq12, dep12, mk12)),
+        atol=0)

@@ -54,7 +54,10 @@ def main():
     @jax.jit
     def step(lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
-        return out, acc + jnp.sum(out[:, ::64, ::64, :]) * 1e-12
+        # chain scalar reads one contiguous output row — same program as
+        # bench.py (a strided ::64 sample adds a 0.4 ms relayout the real
+        # serving program never pays)
+        return out, acc + jnp.sum(out[:, 0]) * 1e-12
 
     acc = jnp.float32(0.0)
     for _ in range(3):  # compile + warm
