@@ -82,6 +82,8 @@ def head_dot_supported(g4_shape, cout, wout=None, itemsize=2) -> bool:
     # fit the Hp = TH+1 tensor
     return (h % TH == 0 and h >= 2 * TH and wc >= wout + 1 and wc % 8 == 0
             and c4 % 128 == 0 and cout % 64 == 0 and b <= 8
+            # bf16 (2,1) sublane packing: odd-b strips misalign in Mosaic
+            and (itemsize != 2 or b % 2 == 0)
             and vmem <= 95 * 1024 * 1024)
 
 

@@ -74,7 +74,12 @@ def packed_g123_supported(x_shape, c4, itemsize=2, c4out=None) -> bool:
             + e * (TH + 1) * mp * b * c4 * itemsize       # g3 rows
             + 2 * TH * mp * b * co * itemsize             # out block
             + 4 * mp * b * max(c4, co) * 4)               # f32 accum rows
-    return (b <= 8 and cin4 % 128 == 0 and c4 % 128 == 0
+    # itemsize-2 (bf16) memrefs carry a (2,1) sublane packing on the last
+    # two dims — an odd b makes every b-extent strip DMA misaligned and
+    # Mosaic refuses the kernel ("Slice shape ... must be aligned to
+    # tiling (2)"); b=1 is exactly the model layer's dummy-init batch
+    return (b <= 8 and (itemsize != 2 or b % 2 == 0)
+            and cin4 % 128 == 0 and c4 % 128 == 0
             and (c4out is None or c4out % 128 == 0)
             and nx >= TH + 4 and vmem <= 90 * 1024 * 1024)
 

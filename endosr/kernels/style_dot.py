@@ -51,9 +51,12 @@ def style_dot_reference(shifted, v):
     return jnp.transpose(y, (1, 2, 0, 3))
 
 
-def style_dot_supported(shape, m) -> bool:
+def style_dot_supported(shape, m, itemsize=2) -> bool:
     b, h, w, j = shape
-    return h % TH == 0 and m % 128 == 0 and w % 8 == 0
+    # output [H,W,B,M] puts b on the second-minor (sublane) dim; bf16's
+    # (2,1) packing rejects odd-b slices in Mosaic (e.g. the b=1 dummy init)
+    return (h % TH == 0 and m % 128 == 0 and w % 8 == 0
+            and (itemsize != 2 or b % 2 == 0))
 
 
 def _kernel(s_ref, v_ref, o_ref):
@@ -92,7 +95,9 @@ def _forward(shifted, v, interpret=False):
     b, h, w, j = shifted.shape
     m = v.shape[2]
     if not interpret and (jax.default_backend() != "tpu"
-                          or not style_dot_supported(shifted.shape, m)):
+                          or not style_dot_supported(
+                              shifted.shape, m,
+                              jnp.dtype(shifted.dtype).itemsize)):
         return style_dot_reference(shifted, v)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -184,6 +189,8 @@ def style_blend_supported(shape, m, n_conv, itemsize=2) -> bool:
             + 2 * BTH * w * b * m * itemsize        # out block
             + 2 * b * BTH * w * mc * 4 * 2)         # f32 dot + transpose
     return (h % BTH == 0 and w % 8 == 0 and b <= 8
+            # bf16 (2,1) sublane packing: odd-b blocks misalign in Mosaic
+            and (itemsize != 2 or b % 2 == 0)
             and vmem <= 95 * 1024 * 1024)
 
 

@@ -113,12 +113,16 @@ class FModelDepthCond(BaseModel):
             seed = int(opt["train"]["manual_seed"])
         self._np_rng = np.random.default_rng(seed)
 
-        # init params on a tiny dummy batch (shapes are polymorphic per call)
+        # init params on a tiny dummy batch (shapes are polymorphic per
+        # call, and the net is fully convolutional so param shapes don't
+        # depend on H/W — cap the dummy at 32² so model construction
+        # doesn't compile/execute a full-size forward just to init)
         key = jax.random.PRNGKey(seed)
+        init_size = min(lr_size, 32)
         dummy = (
-            jnp.zeros((1, lr_size, lr_size, opt["network_G"].get("in_nc", 3)), jnp.float32),
-            jnp.zeros((1, lr_size, lr_size, 1), jnp.float32),
-            jnp.zeros((1, lr_size, lr_size, self.mask_num), jnp.float32),
+            jnp.zeros((1, init_size, init_size, opt["network_G"].get("in_nc", 3)), jnp.float32),
+            jnp.zeros((1, init_size, init_size, 1), jnp.float32),
+            jnp.zeros((1, init_size, init_size, self.mask_num), jnp.float32),
         )
         g_params = self.netG.init(key, *dummy)["params"]
 

@@ -344,3 +344,33 @@ def test_packed_chain_kernel():
     for a, b in zip(g0, g1_):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-2)
+
+
+def test_bf16_odd_batch_rejected_by_support_gates():
+    """Mosaic cannot compile the kernels for odd-b bf16 operands (the
+    (2,1) sublane packing rejects odd-b strip slices — the bs=1 dummy
+    init in FModelDepthCond hit it on TPU, round 4). The support gates
+    must refuse those shapes so the jnp twins serve them; fp32 (no
+    sub-byte packing) and even b stay eligible."""
+    from endosr.kernels.head_dot import head_dot_supported
+    from endosr.kernels.packed_chain import packed_g123_supported
+    from endosr.kernels.style_dot import (
+        style_blend_supported,
+        style_dot_supported,
+    )
+
+    assert not packed_g123_supported((128, 128, 1, 256), 128, itemsize=2)
+    assert packed_g123_supported((128, 128, 2, 256), 128, itemsize=2)
+    assert packed_g123_supported((128, 128, 1, 256), 128, itemsize=4)
+
+    assert not head_dot_supported((257, 264, 1, 512), 64, wout=256,
+                                  itemsize=2)
+    assert head_dot_supported((257, 264, 2, 512), 64, wout=256, itemsize=2)
+
+    assert not style_dot_supported((1, 128, 128, 90), 1280, itemsize=2)
+    assert style_dot_supported((2, 128, 128, 90), 1280, itemsize=2)
+    assert style_dot_supported((1, 128, 128, 90), 1280, itemsize=4)
+
+    assert not style_blend_supported((1, 128, 128, 90), 1280, 10,
+                                     itemsize=2)
+    assert style_blend_supported((2, 128, 128, 90), 1280, 10, itemsize=2)

@@ -152,16 +152,25 @@ def drive():
                                              "bf16c3_nohoist",
                                              "mixed_nohoist"]
         jobs += [f"{scale}:{m}" for m in modes]
+    only_jobs = os.environ.get("SCALES_JOBS")  # comma-sep "scale:mode" subset
+    if only_jobs:
+        jobs = [j for j in jobs if j in only_jobs.split(",")]
     for job in jobs:
         env = dict(os.environ, SCALES_ONLY=job)
-        r = subprocess.run([sys.executable, __file__, "--child"],
-                           env=env, capture_output=True, text=True,
-                           timeout=1200)
+        sc, m = job.split(":")
+        try:
+            r = subprocess.run([sys.executable, __file__, "--child"],
+                               env=env, capture_output=True, text=True,
+                               timeout=1200)
+        except subprocess.TimeoutExpired:
+            # a hung compile must not kill the remaining jobs
+            print(json.dumps({"scale": int(sc), "mode": m,
+                              "error": "timeout 1200s"}), flush=True)
+            continue
         out = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         if out:
             print("\n".join(out), flush=True)
         else:
-            sc, m = job.split(":")
             print(json.dumps({"scale": int(sc), "mode": m,
                               "error": f"rc={r.returncode}"}), flush=True)
 

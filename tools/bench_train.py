@@ -51,6 +51,14 @@ def main():
         if precision:
             o["precision"] = precision
         model = FModelDepthCond(dict_to_nonedict(o))
+        # TRAIN_NET_KW: DepthNet override A/Bs for the training program
+        # (e.g. '{"packed_tail": false}' — the packed chains' per-step
+        # weight prep + twin-VJP recompute may price differently in
+        # training than in fixed-weight serving)
+        kw = json.loads(os.environ.get("TRAIN_NET_KW", "{}"))
+        if kw:
+            model.netG = model.netG.clone(**kw)
+            model._train_step = model._build_train_step()
         dev_batch = shard_batch(dict(batch, mask_bin=np.int32(3)), model.mesh)
         state = model.state
         # XLA's own FLOP count of the whole step program (fwd+bwd+Adam)
@@ -95,7 +103,7 @@ def main():
     dt32, fl32 = measure(None)     # reference recipe precision
     dt16, fl16 = measure("bf16")   # bf16 compute, fp32 params + IN statistics
 
-    print(json.dumps({
+    rec = {
         "metric": "samples/sec/chip, DepthNet x8 Kvasir training step "
                   "(bs8, GT 1024^2, L1+dynamic mask)",
         "value": round(b / dt32, 3),
@@ -107,8 +115,16 @@ def main():
         "step_tflop_bf16": round(fl16 / 1e12, 3),
         "train_mfu_fp32": mfu(fl32, dt32),
         "train_mfu_bf16": mfu(fl16, dt16),
+        "net_kw": json.loads(os.environ.get("TRAIN_NET_KW", "{}")),
         "device_kind": kind,
-    }))
+    }
+    print(json.dumps(rec))
+    # committed evidence trail (same contract as quick_fps / bench.py)
+    logdir = os.path.join(os.path.dirname(__file__), "..", "bench_logs")
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "train_runs.jsonl"), "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                            **rec}) + "\n")
 
 
 if __name__ == "__main__":

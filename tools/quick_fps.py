@@ -66,9 +66,20 @@ def main():
     t1 = min(run(n1) for _ in range(3))
     t2 = min(run(n2) for _ in range(3))
     per_step = (t2 - t1) / (n2 - n1)
-    print(json.dumps({"batch": batch, "net_kw": extra,
-                      "fps_per_chip": round(batch / per_step, 2),
-                      "ms": round(per_step * 1e3, 3)}))
+    rec = {"batch": batch, "lr": lr,
+           "scale": int(os.environ.get("SCALE", "8")), "net_kw": extra,
+           "fps_per_chip": round(batch / per_step, 2),
+           "ms": round(per_step * 1e3, 3)}
+    print(json.dumps(rec))
+    # committed evidence trail: every A/B quoted in a commit message has a
+    # timestamped line here (VERDICT r3 weak-point 3)
+    import time
+
+    logdir = Path(__file__).resolve().parent.parent / "bench_logs"
+    logdir.mkdir(exist_ok=True)
+    with open(logdir / "quick_fps.jsonl", "a") as f:
+        f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                            **rec}) + "\n")
 
 
 if __name__ == "__main__":
