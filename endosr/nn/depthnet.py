@@ -896,6 +896,9 @@ class DepthNet(nn.Module):
         fold1 = (self.scale == 8 and bool(self.fold_tail)
                  and self.fold_output_conv and (nb - 2) not in which
                  and (nb - 1) not in which)
+        # set when z carries the up1 stage-4 conv's RAW output — the tail
+        # chain applies the deferred leaky_relu (pre_act) itself
+        tail_pre_act = False
 
         if self.scale == 8 and fold1:
             # raw conv; the leaky_relu is applied per consumer path (the
@@ -946,9 +949,14 @@ class DepthNet(nn.Module):
                     # stage 4 stays in XLA: its [2,2,128,512] conv runs
                     # near-roofline there; the absorbed variant measured
                     # SLOWER (319.6 vs 323.0 fps/chip — per-row dots +
-                    # g3 scratch traffic cost more than the saved pass)
-                    g4 = leaky_relu(_pk_conv(
-                        g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp))
+                    # g3 scratch traffic cost more than the saved pass).
+                    # Its leaky_relu is DEFERRED into the tail chain's
+                    # pre_act (lrelu commutes with the interleave slice;
+                    # the standalone [8,128²,512] lrelu fusion measured
+                    # 406 µs — a full extra HBM round trip).
+                    g4 = _pk_conv(
+                        g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp)
+                    tail_pre_act = True
                 else:
                     h = leaky_relu(h_pre)
                     g1 = _pk_gate(leaky_relu(_pk_conv(
@@ -995,7 +1003,8 @@ class DepthNet(nn.Module):
                 # the dense r=2 fold's MACs, no further shuffles, and the
                 # folded 9×9 head re-merges into ONE dense conv (see
                 # layers.packed_stage_kernel).
-                return self._packed_tail(z, p23, blocks[nb - 1], final_scale)
+                return self._packed_tail(z, p23, blocks[nb - 1], final_scale,
+                                         pre_act=tail_pre_act)
             w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
             z = leaky_relu(_conv_dt(_m(z), w23, b23, cc_dt, centered=cc))
             # classic block 16 (blocks[nb-1]) with both convs folded by r
@@ -1088,7 +1097,7 @@ class DepthNet(nn.Module):
             out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(_m(feat_up3))
         return jnp.clip(out.astype(jnp.float32), self.clamp_min, self.clamp_max)
 
-    def _packed_tail(self, z, p23, block16, final_scale):
+    def _packed_tail(self, z, p23, block16, final_scale, pre_act=False):
         """×8 fold1 tail on the phase-packed PS(2)-pending grid.
 
         ``z``: the mid-tail-shuffled [B,N,N,4·32] tensor (torch PS channel
@@ -1142,9 +1151,12 @@ class DepthNet(nn.Module):
                 packed_stage_kernel(w23, 0, 1, in_interleaved=True),
                 jnp.tile(b23, 4),
                 packed_stage_kernel(wc0, 1, 0), jnp.tile(bc0, 4),
-                packed_stage_kernel(wc2, 0, 1), jnp.tile(bc2, 4))
+                packed_stage_kernel(wc2, 0, 1), jnp.tile(bc2, 4),
+                None, None, pre_act)
             g3 = jnp.transpose(g3h, (2, 0, 1, 3))
         else:
+            if pre_act:  # deferred producer activation (see caller)
+                z = leaky_relu(z)
             g1 = gate(leaky_relu(pconv(
                 z, packed_stage_kernel(w23, 0, 1, in_interleaved=True),
                 [(1, 1), (1, 1)], b23)), 1, 32)

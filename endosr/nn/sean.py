@@ -85,6 +85,42 @@ def _split_channels_bwd(n, c, _, g):
 
 _split_channels.defvjp(_split_channels_fwd, _split_channels_bwd)
 
+# o-branch conv1 lowering: "dot" (default) = 3×3 taps of the 1-channel
+# depth map stacked on the contraction axis, one [H·W·B,9]×[9,M] matmul —
+# bias+ReLU fuse into the dot epilogue and the wide activation writes HBM
+# ONCE. The conv lowering materializes the [B,h,w,26·2C] pre-activation
+# and pays a separate full-size relu pass on top (1.34 ms at the ×8
+# flagship shape, round-4 profile). "conv" restores the old lowering.
+_OBRANCH_BODY = os.environ.get("ENDOSR_OBRANCH_BODY", "dot")
+
+
+def _mask_conv_relu(d, w_mask, b_mask, dtype):
+    """relu(conv3×3(d [B,h,w,1]) + bias) for the stacked o-branch first
+    stage, emitted [B,h,w,M] in the consumer conv's natural layout.
+
+    Dot lowering: the nine taps of the one-channel input become the
+    contraction axis of a single matmul over the [h,w,B] logical order —
+    the transpose back to BHWC is a layout bitcast (same contract as
+    ``style_dot``), and XLA fuses bias+ReLU into the dot's epilogue so
+    the M-wide activation is written exactly once.
+    """
+    if _OBRANCH_BODY != "dot":
+        return jax.nn.relu(
+            jax.lax.conv_general_dilated(
+                d.astype(dtype), w_mask.astype(dtype), (1, 1),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b_mask.astype(dtype))
+    b, h, w, _ = d.shape
+    dp = jnp.pad(jnp.transpose(d[..., 0], (1, 2, 0)),
+                 ((1, 1), (1, 1), (0, 0)))               # [h+2, w+2, B]
+    patches = jnp.stack(
+        [dp[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)],
+        axis=-1).astype(dtype)                            # [h, w, B, 9]
+    wt = jnp.reshape(w_mask.astype(dtype), (9, -1))       # [9, M]
+    y = jnp.einsum("hwbk,km->hwbm", patches, wt) + b_mask.astype(dtype)
+    return jnp.transpose(jax.nn.relu(y), (2, 0, 1, 3))    # bitcast to BHWC
+
 
 def hoisted_o_branch(weights, depth_map, dtype, vmask=None):
     """Evaluate many SEAN depth-map branches in one pass.
@@ -113,12 +149,7 @@ def hoisted_o_branch(weights, depth_map, dtype, vmask=None):
     w_mask = jnp.concatenate([w["kernel"].astype(dtype) for (w, _, _) in weights],
                              axis=-1)  # [3,3,1,N·2C]
     b_mask = jnp.concatenate([w["bias"].astype(dtype) for (w, _, _) in weights])
-    actv = jax.nn.relu(
-        jax.lax.conv_general_dilated(
-            d, w_mask, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b_mask
-    )  # [B,h,w,N·2C]
+    actv = _mask_conv_relu(d, w_mask, b_mask, dtype)  # [B,h,w,N·2C]
     if vmask is not None:
         actv = actv * vmask.astype(actv.dtype)
 
@@ -158,12 +189,7 @@ def precompute_o_actv(weights, depth_map, dtype, vmask=None):
     w_mask = jnp.concatenate([w["kernel"].astype(dtype) for (w, _, _) in weights],
                              axis=-1)
     b_mask = jnp.concatenate([w["bias"].astype(dtype) for (w, _, _) in weights])
-    actv = jax.nn.relu(
-        jax.lax.conv_general_dilated(
-            d, w_mask, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b_mask
-    )
+    actv = _mask_conv_relu(d, w_mask, b_mask, dtype)
     if vmask is not None:
         actv = actv * vmask.astype(actv.dtype)
     return _split_channels(actv, n, c2)
