@@ -180,6 +180,13 @@ def main():
     if smoke:
         kw.update(which_resblk_depth=(0,), nb=4, depth_latent_ch=16,
                   depth_range_num=4)
+    # A/B instrumentation: BENCH_NET_KW (JSON DepthNet overrides) makes
+    # bench.py itself the court for perf-default decisions (VERDICT r4
+    # item 1 — never flip a default on quick_fps's word again). A non-empty
+    # override tags every emitted record with "net_kw" so bench_runs.jsonl
+    # A/B arms are distinguishable from headline runs.
+    net_kw = json.loads(os.environ.get("BENCH_NET_KW", "{}"))
+    kw.update(net_kw)
     net = DepthNet(dtype=jnp.bfloat16, **kw)
     state["phase"] = "params-init"
     params = net.init(jax.random.PRNGKey(0), lq, depth, masks)["params"]
@@ -243,6 +250,32 @@ def main():
         "baseline_basis": "V100-class estimate (BASELINE_MEASURED.json)",
         "device_kind": kind,
     }
+    if net_kw:
+        headline["net_kw"] = net_kw
+    # Regression floor (VERDICT r4 item 4): compare against the newest
+    # committed BENCH_r*.json headline; a >3% drop gets a loud field in the
+    # emitted record so a silent slip can never ship again. A/B arms
+    # (net_kw set) still get the field — informational, per-arm.
+    if not smoke:
+        try:
+            import glob
+            prior = sorted(glob.glob(os.path.join(
+                os.path.dirname(__file__) or ".", "BENCH_r*.json")))
+            best_prior = 0.0
+            for p in prior:
+                with open(p) as f:
+                    rec = json.load(f).get("parsed") or {}
+                if isinstance(rec, dict):
+                    best_prior = max(best_prior,
+                                     float(rec.get("value") or 0.0))
+            if best_prior and fps < 0.97 * best_prior:
+                pct = 100.0 * (fps / best_prior - 1.0)
+                headline["regression_vs_committed"] = (
+                    f"{pct:+.1f}% vs best committed BENCH_r*.json "
+                    f"({best_prior:.1f} fps)")
+                _note(f"REGRESSION: {headline['regression_vs_committed']}")
+        except Exception as e:  # noqa: BLE001 — guard must never kill it
+            _note(f"regression-floor check failed: {e}")
     _emit(headline)
     state["headline_printed"] = True
     _note("headline printed; running enrichment (MFU + fp32 cert)")

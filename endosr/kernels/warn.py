@@ -16,9 +16,13 @@ _warned: set = set()
 
 
 def warn_kernel_drop(kernel: str, reason: str) -> None:
-    key = (kernel, reason)
-    if key in _warned:
+    # dedupe on the kernel name only: reasons embed concrete shapes/dtypes,
+    # and per-shape eval workloads (bucketing disabled, whole-image sets)
+    # would otherwise log one line per distinct shape and grow _warned
+    # without bound (ADVICE r4). The first reason carries the detail.
+    if kernel in _warned:
         return
-    _warned.add(key)
+    _warned.add(kernel)
     logging.getLogger("base").warning(
-        "Pallas kernel %s disabled for this program: %s", kernel, reason)
+        "Pallas kernel %s disabled for this program: %s "
+        "(further drops of this kernel are not logged)", kernel, reason)

@@ -72,7 +72,11 @@ def _chunked_serving_fn(netG, p, chunk):
 
     def fwd(lq, d, m):
         b = lq.shape[0]
-        if chunk and b > chunk and b % chunk == 0:
+        if chunk and b > chunk:
+            # floor(b/chunk) full chunks + one ragged remainder (exact —
+            # every op is per-sample). A non-multiple batch previously fell
+            # through as ONE b-sized program and silently dropped every
+            # b≤chunk Pallas kernel (ADVICE r4).
             outs = [
                 netG.apply({"params": p}, lq[i:i + chunk],
                            d[i:i + chunk], m[i:i + chunk])

@@ -528,6 +528,16 @@ class DepthNet(nn.Module):
     # + v3-output-stage shape qualifies; ignored when pallas_tail forces
     # the fully fused kernel.
     pallas_head: Any = "auto"
+    # Hoisted o-branch conv1 lowering: "conv" (plain NHWC conv) or "dot"
+    # (taps stacked on the contraction axis — see sean._mask_conv_relu).
+    # Round-5 bench.py A/B (×8 bs8 flagship, v5e): conv 328.7 fps/chip vs
+    # dot 285.1 — the round-4 "dot" default was the regression. The
+    # ENDOSR_OBRANCH_BODY env var overrides the field (dev A/Bs only).
+    obranch_body: str = "conv"
+    # Defer the packed-up1 stage-4 leaky_relu into the tail chain's pre_act
+    # (saves one [8,128²,512] activation pass). Shipped untested as a
+    # round-4 snapshot default; round-5 bench.py A/B keeps/reverts it.
+    tail_defer_act: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -693,7 +703,8 @@ class DepthNet(nn.Module):
                 # endosr/kernels/fused_obranch.py)
                 obs = pallas_o_branch(weights, dmap_g, mod_dt)
             else:
-                obs = hoisted_o_branch(weights, dmap_g, mod_dt, vmask=vm)
+                obs = hoisted_o_branch(weights, dmap_g, mod_dt, vmask=vm,
+                                       body=self.obranch_body)
             for idx, i in enumerate(ids):
                 ob_map[i] = (obs[2 * idx], obs[2 * idx + 1])
             if want_style:
@@ -727,7 +738,8 @@ class DepthNet(nn.Module):
                     for j in range(0, len(trunk_depth), go))}
             else:
                 actv_chunks = precompute_o_actv(o_weights, dmap, mod_dt,
-                                                vmask=vm)
+                                                vmask=vm,
+                                                body=self.obranch_body)
                 for idx, i in enumerate(trunk_depth):
                     lazy_o[i] = (actv_chunks[2 * idx], o_weights[2 * idx],
                                  actv_chunks[2 * idx + 1],
@@ -756,7 +768,8 @@ class DepthNet(nn.Module):
             weights = []
             for i in ids:
                 weights.extend(blocks[i].depth_branch_weights())
-            chunks = precompute_o_actv(weights, dmap_g, mod_dt, vmask=vm)
+            chunks = precompute_o_actv(weights, dmap_g, mod_dt, vmask=vm,
+                                       body=self.obranch_body)
             for idx, i in enumerate(ids):
                 lazy_o[i] = (chunks[2 * idx], weights[2 * idx],
                              chunks[2 * idx + 1], weights[2 * idx + 1])
@@ -950,13 +963,15 @@ class DepthNet(nn.Module):
                     # near-roofline there; the absorbed variant measured
                     # SLOWER (319.6 vs 323.0 fps/chip — per-row dots +
                     # g3 scratch traffic cost more than the saved pass).
-                    # Its leaky_relu is DEFERRED into the tail chain's
-                    # pre_act (lrelu commutes with the interleave slice;
-                    # the standalone [8,128²,512] lrelu fusion measured
-                    # 406 µs — a full extra HBM round trip).
+                    # tail_defer_act pushes its leaky_relu into the tail
+                    # chain's pre_act (lrelu commutes with the interleave
+                    # slice); off = apply it here as its own fusion.
                     g4 = _pk_conv(
                         g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp)
-                    tail_pre_act = True
+                    if self.tail_defer_act:
+                        tail_pre_act = True
+                    else:
+                        g4 = leaky_relu(g4)
                 else:
                     h = leaky_relu(h_pre)
                     g1 = _pk_gate(leaky_relu(_pk_conv(

@@ -35,15 +35,7 @@ def define_G(opt, dtype=jnp.float32, modulation_dtype=None,
         # ``network_G.preset``: a named, measured knob combination
         # (depthnet.DEPTHNET_PRESETS) instead of hand-picked serving flags
         preset = opt_net.get("preset")
-        extra = {}
-        if preset:
-            if preset not in DEPTHNET_PRESETS:
-                raise ValueError(
-                    f"Unknown DepthNet preset [{preset}]; available: "
-                    f"{sorted(DEPTHNET_PRESETS)}")
-            extra = DEPTHNET_PRESETS[preset]
-        return DepthNet(
-            **extra,
+        kwargs = dict(
             which_resblk_depth=tuple(opt_net.get("which_ResBlk_depth") or ()),
             in_nc=opt_net.get("in_nc", 3),
             out_nc=opt_net.get("out_nc", 3),
@@ -64,6 +56,17 @@ def define_G(opt, dtype=jnp.float32, modulation_dtype=None,
             centered_convs=int(centered_convs),
             dtype=dtype,
         )
+        if preset:
+            if preset not in DEPTHNET_PRESETS:
+                raise ValueError(
+                    f"Unknown DepthNet preset [{preset}]; available: "
+                    f"{sorted(DEPTHNET_PRESETS)}")
+            kwargs.update(DEPTHNET_PRESETS[preset])
+        # ``network_G.net_kw``: raw DepthNet field overrides (execution
+        # knobs like obranch_body / tail_defer_act / packed_tail), applied
+        # LAST so a YAML can pin any lowering choice over a preset.
+        kwargs.update(opt_net.get("net_kw") or {})
+        return DepthNet(**kwargs)
     if which_model == "SFTMD":
         # the reference maps 'SFTMD' to the kernel-free variant
         # (``networks.py:29-31``); the kernel-conditioned SFTMD is available

@@ -85,16 +85,25 @@ def _split_channels_bwd(n, c, _, g):
 
 _split_channels.defvjp(_split_channels_fwd, _split_channels_bwd)
 
-# o-branch conv1 lowering: "dot" (default) = 3×3 taps of the 1-channel
-# depth map stacked on the contraction axis, one [H·W·B,9]×[9,M] matmul —
-# bias+ReLU fuse into the dot epilogue and the wide activation writes HBM
-# ONCE. The conv lowering materializes the [B,h,w,26·2C] pre-activation
-# and pays a separate full-size relu pass on top (1.34 ms at the ×8
-# flagship shape, round-4 profile). "conv" restores the old lowering.
-_OBRANCH_BODY = os.environ.get("ENDOSR_OBRANCH_BODY", "dot")
+def _resolve_obranch_body(body):
+    """o-branch conv1 lowering choice: the ``ENDOSR_OBRANCH_BODY`` env var
+    is an *override only* (read at trace time); otherwise the caller's
+    ``body`` (the ``DepthNet.obranch_body`` field) decides, default "conv".
+
+    "dot" = 3×3 taps of the 1-channel depth map stacked on the contraction
+    axis, one [H·W·B,9]×[9,M] matmul — bias+ReLU fuse into the dot epilogue
+    and the wide activation writes HBM once. "conv" = the plain NHWC conv
+    lowering. Round-5 bench.py A/B at the ×8 bs8 flagship shape: conv
+    328.7 fps/chip vs dot 285.1 (the round-4 regression) — "conv" is the
+    default; "dot" is kept for study (bench_logs/bench_runs.jsonl).
+    """
+    env = os.environ.get("ENDOSR_OBRANCH_BODY")
+    if env:
+        return env
+    return body or "conv"
 
 
-def _mask_conv_relu(d, w_mask, b_mask, dtype):
+def _mask_conv_relu(d, w_mask, b_mask, dtype, body=None):
     """relu(conv3×3(d [B,h,w,1]) + bias) for the stacked o-branch first
     stage, emitted [B,h,w,M] in the consumer conv's natural layout.
 
@@ -104,7 +113,7 @@ def _mask_conv_relu(d, w_mask, b_mask, dtype):
     ``style_dot``), and XLA fuses bias+ReLU into the dot's epilogue so
     the M-wide activation is written exactly once.
     """
-    if _OBRANCH_BODY != "dot":
+    if _resolve_obranch_body(body) != "dot":
         return jax.nn.relu(
             jax.lax.conv_general_dilated(
                 d.astype(dtype), w_mask.astype(dtype), (1, 1),
@@ -122,7 +131,7 @@ def _mask_conv_relu(d, w_mask, b_mask, dtype):
     return jnp.transpose(jax.nn.relu(y), (2, 0, 1, 3))    # bitcast to BHWC
 
 
-def hoisted_o_branch(weights, depth_map, dtype, vmask=None):
+def hoisted_o_branch(weights, depth_map, dtype, vmask=None, body=None):
     """Evaluate many SEAN depth-map branches in one pass.
 
     ``weights``: list of ``(w_mask{kernel,bias}, w_ob, b_ob)`` per SEAN
@@ -149,7 +158,7 @@ def hoisted_o_branch(weights, depth_map, dtype, vmask=None):
     w_mask = jnp.concatenate([w["kernel"].astype(dtype) for (w, _, _) in weights],
                              axis=-1)  # [3,3,1,N·2C]
     b_mask = jnp.concatenate([w["bias"].astype(dtype) for (w, _, _) in weights])
-    actv = _mask_conv_relu(d, w_mask, b_mask, dtype)  # [B,h,w,N·2C]
+    actv = _mask_conv_relu(d, w_mask, b_mask, dtype, body)  # [B,h,w,N·2C]
     if vmask is not None:
         actv = actv * vmask.astype(actv.dtype)
 
@@ -166,7 +175,7 @@ def hoisted_o_branch(weights, depth_map, dtype, vmask=None):
     return [(chunks[2 * i], chunks[2 * i + 1]) for i in range(n)]
 
 
-def precompute_o_actv(weights, depth_map, dtype, vmask=None):
+def precompute_o_actv(weights, depth_map, dtype, vmask=None, body=None):
     """Shared first stage of the lazy o-branch: one wide 1→N·2C conv + ReLU.
 
     ``vmask``: see :func:`hoisted_o_branch` — masks the chain intermediate
@@ -189,7 +198,7 @@ def precompute_o_actv(weights, depth_map, dtype, vmask=None):
     w_mask = jnp.concatenate([w["kernel"].astype(dtype) for (w, _, _) in weights],
                              axis=-1)
     b_mask = jnp.concatenate([w["bias"].astype(dtype) for (w, _, _) in weights])
-    actv = _mask_conv_relu(d, w_mask, b_mask, dtype)
+    actv = _mask_conv_relu(d, w_mask, b_mask, dtype, body)
     if vmask is not None:
         actv = actv * vmask.astype(actv.dtype)
     return _split_channels(actv, n, c2)

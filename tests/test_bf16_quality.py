@@ -97,8 +97,11 @@ def test_bf16_budget_other_scales(scale, latent, budget_db):
 
 
 def test_remat_blocks_is_exact():
-    """remat_blocks (large-LR training memory mode) must be bit-identical
-    to the hoisted default and keep an identical parameter tree."""
+    """remat_blocks (large-LR training memory mode) must match the hoisted
+    default to fp32 schedule tolerance and keep an identical parameter
+    tree. (Not bit-identity: the hoisted path runs the N o-branches as one
+    wide conv whose lowering differs from the per-block convs the remat
+    path runs — same math, different fusion/reduction schedule.)"""
     lr = 16
     rng = np.random.default_rng(4)
     lq = jnp.asarray(rng.random((1, lr, lr, 3)).astype(np.float32))
@@ -114,7 +117,7 @@ def test_remat_blocks_is_exact():
             == jax.tree_util.tree_structure(pb))
     oa = np.asarray(net_a.apply({"params": params}, lq, dep, mk))
     ob = np.asarray(net_b.apply({"params": params}, lq, dep, mk))
-    np.testing.assert_array_equal(oa, ob)
+    np.testing.assert_allclose(oa, ob, atol=2e-5, rtol=0)
     g = jax.grad(lambda p: jnp.sum(
         net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
     assert all(np.isfinite(np.asarray(x)).all()
@@ -174,9 +177,10 @@ def test_lazy_branches_is_exact():
 
 @pytest.mark.parametrize("chunk", [1, 3, 4, 13])
 def test_hoist_chunk_is_exact(chunk):
-    """Chunked hoisting (HBM-locality mode for large batch) must be
-    bit-identical to the single-shot hoist: same math, same params, the
-    groups only change XLA's schedule."""
+    """Chunked hoisting (HBM-locality mode for large batch) must match the
+    single-shot hoist to fp32 schedule tolerance: same math, same params —
+    but splitting the wide o-branch conv by output channels lets XLA pick a
+    different per-width conv algorithm under the "conv" lowering."""
     lr = 16
     rng = np.random.default_rng(7)
     lq = jnp.asarray(rng.random((2, lr, lr, 3)).astype(np.float32))
@@ -192,7 +196,7 @@ def test_hoist_chunk_is_exact(chunk):
             == jax.tree_util.tree_structure(pb))
     oa = np.asarray(jax.jit(net_a.apply)({"params": params}, lq, dep, mk))
     ob = np.asarray(jax.jit(net_b.apply)({"params": params}, lq, dep, mk))
-    np.testing.assert_array_equal(oa, ob)
+    np.testing.assert_allclose(oa, ob, atol=2e-5, rtol=0)
     g = jax.grad(lambda p: jnp.sum(
         net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
     assert all(np.isfinite(np.asarray(x)).all()
@@ -261,9 +265,10 @@ def test_bf16c_centered_mode_quality(scale, latent, passes, bound_db):
 
 @pytest.mark.parametrize("chunk", [1, 3, 4, 13])
 def test_lazy_o_chunk_is_exact(chunk):
-    """Chunked lazy o-prefix (HBM-locality mode) must be bit-identical to
-    the single-shot prefix: splitting the wide conv by output channels is
-    exact and the barrier only changes XLA's schedule."""
+    """Chunked lazy o-prefix (HBM-locality mode) must match the single-shot
+    prefix to fp32 schedule tolerance: splitting the wide conv by output
+    channels is the same math, but under the "conv" lowering XLA may pick a
+    different per-width conv algorithm."""
     lr = 16
     rng = np.random.default_rng(13)
     lq = jnp.asarray(rng.random((2, lr, lr, 3)).astype(np.float32))
@@ -279,7 +284,7 @@ def test_lazy_o_chunk_is_exact(chunk):
             == jax.tree_util.tree_structure(pb))
     oa = np.asarray(jax.jit(net_a.apply)({"params": params}, lq, dep, mk))
     ob = np.asarray(jax.jit(net_b.apply)({"params": params}, lq, dep, mk))
-    np.testing.assert_array_equal(oa, ob)
+    np.testing.assert_allclose(oa, ob, atol=2e-5, rtol=0)
     g = jax.grad(lambda p: jnp.sum(
         net_b.apply({"params": p}, lq, dep, mk) ** 2))(params)
     assert all(np.isfinite(np.asarray(x)).all()

@@ -111,10 +111,14 @@ def test_bs16_chunked_serving_matches_direct(fixture):
         _chunked_serving_fn(net, params, 8)(lq16, dep16, mk16))
     np.testing.assert_allclose(chunked, direct, atol=1e-6)
 
-    # non-dividing batches fall through to the single program
+    # non-dividing batches chunk as floor(b/chunk) full chunks + a ragged
+    # remainder (8+4 here) — still exact per-sample math. The old code fell
+    # through to ONE b=12 program and silently dropped every b≤8 Pallas
+    # kernel (ADVICE r4).
     lq12, dep12, mk12 = lq16[:12], dep16[:12], mk16[:12]
-    whole = np.asarray(
+    ragged = np.asarray(
         _chunked_serving_fn(net, params, 8)(lq12, dep12, mk12))
     np.testing.assert_allclose(
-        whole, np.asarray(net.apply({"params": params}, lq12, dep12, mk12)),
-        atol=0)
+        ragged, np.asarray(net.apply({"params": params}, lq12, dep12, mk12)),
+        atol=1e-6)
+    np.testing.assert_allclose(ragged, direct[:12], atol=1e-6)

@@ -54,11 +54,15 @@ def main():
         # TRAIN_NET_KW: DepthNet override A/Bs for the training program
         # (e.g. '{"packed_tail": false}' — the packed chains' per-step
         # weight prep + twin-VJP recompute may price differently in
-        # training than in fixed-weight serving)
+        # training than in fixed-weight serving). Overrides are merged into
+        # the opt's network_G block and the MODEL IS REBUILT, so overrides
+        # that change the parameter set (nb, depth_latent_ch, …) re-init
+        # params consistently instead of mis-binding a cloned net to the
+        # old state (ADVICE r4).
         kw = json.loads(os.environ.get("TRAIN_NET_KW", "{}"))
         if kw:
-            model.netG = model.netG.clone(**kw)
-            model._train_step = model._build_train_step()
+            o["network_G"].update(kw)
+            model = FModelDepthCond(dict_to_nonedict(o))
         dev_batch = shard_batch(dict(batch, mask_bin=np.int32(3)), model.mesh)
         state = model.state
         # XLA's own FLOP count of the whole step program (fwd+bwd+Adam)

@@ -50,7 +50,14 @@ def main():
     @jax.jit
     def step(lq, depth, masks, acc):
         out = net.apply({"params": params}, lq + acc * 0.0, depth, masks)
-        return out, acc + jnp.sum(out[:, 0] if os.environ.get('CHAIN_ROW') else out[:, ::64, ::64, :]) * 1e-12
+        # chain read = ONE contiguous output row, identical to bench.py —
+        # the old strided ::64 default measured a DIFFERENT program (output
+        # relayout for the gather slice; the exact mismatch behind the r4
+        # 326-vs-285 instrument disagreement, VERDICT r4 weak-point 1).
+        # CHAIN_STRIDED=1 restores the old read for study only.
+        probe = (out[:, ::64, ::64, :] if os.environ.get("CHAIN_STRIDED")
+                 else out[:, 0])
+        return out, acc + jnp.sum(probe) * 1e-12
 
     def run(n):
         acc = jnp.float32(0.0)
