@@ -85,13 +85,19 @@ def packed_g123_supported(x_shape, c4, itemsize=2, c4out=None) -> bool:
 
 
 def packed_g123_reference(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None,
-                          b4=None, pre_act=False):
+                          b4=None, pre_act=False, pre_bias=None):
     """jnp twin: the exact unfused stages on the BHWC view. ``pre_act``:
     apply leaky_relu(0.2) to x first (the producer conv's deferred
-    activation). ``k4``/``b4``: absorbed UNGATED stage 4 (its s=0 gate
-    zeroes exactly the row/col the downstream interleave slice drops)."""
+    activation). ``pre_bias`` [C]: add the producer conv's deferred bias
+    before the activation (requires ``pre_act``) — with the packed bias
+    tiled identically across phase slots, the interleaved-space bias is
+    phase-independent, so one per-channel vector is exact. ``k4``/``b4``:
+    absorbed UNGATED stage 4 (its s=0 gate zeroes exactly the row/col the
+    downstream interleave slice drops)."""
     dt = x_hwnc.dtype
     x = jnp.transpose(x_hwnc, (2, 0, 1, 3))
+    if pre_bias is not None:
+        x = x + pre_bias.reshape(1, 1, 1, -1).astype(dt)
     nx, mx = x.shape[1], x.shape[2]
     c4 = k1.shape[3]
 
@@ -124,14 +130,17 @@ def packed_g123_reference(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None,
 
 def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
             cm1_ref, cm0_ref, r10_ref, r1n_ref, *rest, nx, mx, b, cin4,
-            c4, nblk, pre_act=False):
+            c4, nblk, pre_act=False, has_k4=False, has_pb=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if len(rest) == 8:           # stage-4 absorbed
-        k4_ref, b4_ref, out_ref, xs, g1s, g2s, g3s, sems = rest
+    rest = list(rest)
+    k4_ref, b4_ref = (rest.pop(0), rest.pop(0)) if has_k4 else (None, None)
+    pb_ref = rest.pop(0) if has_pb else None
+    if has_k4:                   # stage-4 absorbed
+        out_ref, xs, g1s, g2s, g3s, sems = rest
     else:
-        k4_ref = b4_ref = g3s = None
+        g3s = None
         out_ref, xs, g1s, g2s, sems = rest
     e = 0 if k4_ref is None else 1
 
@@ -181,6 +190,8 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
         """x row ``t`` (global), zeros outside [0, nx)."""
         i = jnp.clip(t - base, 0, strip - 1)
         row = xs[slot, pl.ds(i, 1)][0]
+        if pb_ref is not None:  # producer conv's deferred bias
+            row = row + pb_ref[...].reshape(1, 1, cin4)
         if pre_act:  # producer conv's deferred leaky_relu (lrelu(0) = 0)
             row = jnp.maximum(row, row * jnp.asarray(0.2, row.dtype))
         ok = jnp.logical_and(t >= 0, t < nx)
@@ -290,23 +301,27 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def packed_g123(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
-                pre_act=False):
+                pre_act=False, pre_bias=None):
     """Fused 3(+1)-stage packed chain.
 
     x_hwnc: [Nx, Mx, B, Cin4] (HWNC logical — the producer's conv-natural
     bytes); k1 [2,2,Cin4,C4] (stage-1 packed kernel, may be the
     ``in_interleaved`` lowering), k2/k3 [2,2,C4,C4]; b* are the
     group-tiled biases [C4]. ``pre_act``: x is the producer conv's RAW
-    output and its leaky_relu(0.2) runs in-kernel. ``k4``/``b4``
+    output and its leaky_relu(0.2) runs in-kernel. ``pre_bias`` [Cin4]:
+    the producer conv's BIAS is deferred too (added before the in-kernel
+    leaky_relu) — XLA ran the bias add + slice of the 134 MB producer
+    output as its own 406 µs pass at the flagship shape. ``k4``/``b4``
     [2,2,C4,C4out]: absorb the UNGATED stage-4 conv + leaky_relu (its
     s=0 gate zeroes exactly the slots the downstream interleave slice
     drops). Returns g3 (or g4) [Nx+1, Mx+1, B, C4|C4out] (HWNC).
     """
-    return _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_act)
+    return _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_act,
+                    pre_bias)
 
 
 def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
-             pre_act=False, interpret=False):
+             pre_act=False, pre_bias=None, interpret=False):
     nx, mx, b, cin4 = x_hwnc.shape
     c4 = k1.shape[3]
     c4o = None if k4 is None else k4.shape[3]
@@ -324,7 +339,7 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
                 "gate (batch>8, channel alignment or VMEM budget): packed "
                 "chain runs as unfused XLA stages")
         return packed_g123_reference(x_hwnc, k1, b1, k2, b2, k3, b3,
-                                     k4, b4, pre_act)
+                                     k4, b4, pre_act, pre_bias)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -362,11 +377,17 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
     if k4 is not None:
         in_specs += [const_spec((2, 2, c4, c4o)), const_spec((1, c4o))]
         args += [k4.astype(dt), b4.reshape(1, c4o).astype(dt)]
+    if pre_bias is not None:
+        in_specs.append(const_spec((1, cin4)))
+        args.append(pre_bias.reshape(1, cin4).astype(dt))
+    if k4 is not None:
         scratch.append(pltpu.VMEM((TH + 1, mp, b, c4), dt))
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
     return pl.pallas_call(
         functools.partial(_kernel, nx=nx, mx=mx, b=b, cin4=cin4, c4=c4,
-                          nblk=nblk, pre_act=pre_act),
+                          nblk=nblk, pre_act=pre_act,
+                          has_k4=k4 is not None,
+                          has_pb=pre_bias is not None),
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TH, mp, b, co), lambda tt: (tt, 0, 0, 0),
@@ -381,24 +402,34 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
     )(*args)
 
 
-def _fwd(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None, pre_act=False):
-    return (_forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_act),
-            (x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4))
+def _fwd(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None, pre_act=False,
+         pre_bias=None):
+    return (_forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_act,
+                     pre_bias),
+            (x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_bias))
 
 
 def _bwd(pre_act, res, g):
-    x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4 = res
-    if k4 is None:
+    x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_bias = res
+    if k4 is None and pre_bias is None:
         _, vjp = jax.vjp(
             lambda x, a1, c1, a2, c2, a3, c3: packed_g123_reference(
                 x, a1, c1, a2, c2, a3, c3, pre_act=pre_act),
             x_hwnc, k1, b1, k2, b2, k3, b3)
-        return (*vjp(g), None, None)
+        return (*vjp(g), None, None, None)
+    if k4 is None:
+        _, vjp = jax.vjp(
+            lambda x, a1, c1, a2, c2, a3, c3, pb: packed_g123_reference(
+                x, a1, c1, a2, c2, a3, c3, pre_act=pre_act, pre_bias=pb),
+            x_hwnc, k1, b1, k2, b2, k3, b3, pre_bias)
+        grads = vjp(g)
+        return (*grads[:7], None, None, grads[7])
+    assert pre_bias is None, "pre_bias with absorbed stage 4 is unused"
     _, vjp = jax.vjp(
         lambda x, a1, c1, a2, c2, a3, c3, a4, c4_: packed_g123_reference(
             x, a1, c1, a2, c2, a3, c3, a4, c4_, pre_act),
         x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4)
-    return vjp(g)
+    return (*vjp(g), None)
 
 
 packed_g123.defvjp(_fwd, _bwd)

@@ -115,14 +115,16 @@ def _pk_gate(x, s, c):
 
 def _pk_conv(x, w, b, s_in, s_out, pad, dt, interleaved=False):
     """One packed-grid conv stage: [2,2,4C,4C'] lowering of a fine-grid 3×3
-    conv (layers.packed_stage_kernel) + group-tiled bias."""
+    conv (layers.packed_stage_kernel) + group-tiled bias (``b=None`` emits
+    the RAW conv — the caller defers the bias, see ``tail_defer_act``)."""
     from endosr.nn.layers import packed_stage_kernel
 
     k = packed_stage_kernel(w, s_in, s_out, in_interleaved=interleaved)
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x.astype(dt), k.astype(dt), (1, 1), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + jnp.tile(b, 4).astype(dt)
+    )
+    return y if b is None else y + jnp.tile(b, 4).astype(dt)
 
 __all__ = ["DepthNet", "Encoder", "region_wise_avg_pooling",
            "DepthResidualBlock", "ClassicResidualBlock"]
@@ -535,9 +537,17 @@ class DepthNet(nn.Module):
     # ENDOSR_OBRANCH_BODY env var overrides the field (dev A/Bs only).
     obranch_body: str = "conv"
     # Defer the packed-up1 stage-4 leaky_relu into the tail chain's pre_act
-    # (saves one [8,128²,512] activation pass). Shipped untested as a
-    # round-4 snapshot default; round-5 bench.py A/B keeps/reverts it.
+    # (saves one [8,128²,512] activation pass). Round-5 bench.py A/B
+    # (interleaved, tools/ab_bench.py): True 328.0/328.0 vs False 328.4
+    # fps/chip — within noise; kept (the deferral also lets the packed
+    # chain skip a whole-tensor pass on the fallback path).
     tail_defer_act: bool = True
+    # Build the 9-shift mask stack ([B,H,W,9K] from the K-bin depth mask)
+    # with one 0/1 conv instead of 9 pad/slice fusions + a lane-unaligned
+    # concat (K=10 channel offsets defeat lane tiling; the pad/slice+concat
+    # build measured 303+363 µs in the round-5 flagship profile). The
+    # ENDOSR_STACK_CONV env var overrides (dev A/Bs only).
+    mask_stack_conv: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -745,7 +755,8 @@ class DepthNet(nn.Module):
                                  actv_chunks[2 * idx + 1],
                                  o_weights[2 * idx + 1])
             if want_style:
-                shifted = shifted_mask_stack(dmask, mod_dt)
+                shifted = shifted_mask_stack(dmask, mod_dt,
+                                             stack_conv=self.mask_stack_conv)
                 v_chunks = precompute_style_v(s_weights, depth_vec, mod_dt)
                 for idx, i in enumerate(trunk_depth):
                     lazy_s[i] = (v_chunks[2 * idx], s_weights[2 * idx],
@@ -963,15 +974,20 @@ class DepthNet(nn.Module):
                     # near-roofline there; the absorbed variant measured
                     # SLOWER (319.6 vs 323.0 fps/chip — per-row dots +
                     # g3 scratch traffic cost more than the saved pass).
-                    # tail_defer_act pushes its leaky_relu into the tail
-                    # chain's pre_act (lrelu commutes with the interleave
-                    # slice); off = apply it here as its own fusion.
-                    g4 = _pk_conv(
-                        g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp)
+                    # tail_defer_act pushes its BIAS + leaky_relu into the
+                    # tail chain's pre-stage (both commute with the
+                    # interleave slice; the tiled packed bias repeats the
+                    # same native vector in every phase slot, so the
+                    # interleaved-space bias is one per-channel [C] add —
+                    # XLA ran bias+slice as its own 406 µs pass on the
+                    # 134 MB g4). Off = apply both here as XLA fusions.
                     if self.tail_defer_act:
-                        tail_pre_act = True
+                        g4 = _pk_conv(
+                            g3, w20n, None, 1, 0, [(0, 1), (0, 1)], dtp)
+                        tail_pre_act = b20n
                     else:
-                        g4 = leaky_relu(g4)
+                        g4 = leaky_relu(_pk_conv(
+                            g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp))
                 else:
                     h = leaky_relu(h_pre)
                     g1 = _pk_gate(leaky_relu(_pk_conv(
@@ -1133,6 +1149,13 @@ class DepthNet(nn.Module):
         nh, nw = z.shape[1], z.shape[2]
         fs = final_scale
         rt = 2 * fs
+        # ``pre_act`` may carry the producer conv's deferred BIAS (a [C]
+        # vector — see the tail_defer_act caller): phase-tiled biases are
+        # phase-independent after the interleave, so one per-channel add
+        # before the deferred leaky_relu is exact.
+        pre_bias = None
+        if not isinstance(pre_act, bool):
+            pre_bias, pre_act = pre_act, True
 
         def gate(G, s, c):
             # row gate from the packed H dim, column gate from the packed
@@ -1167,9 +1190,12 @@ class DepthNet(nn.Module):
                 jnp.tile(b23, 4),
                 packed_stage_kernel(wc0, 1, 0), jnp.tile(bc0, 4),
                 packed_stage_kernel(wc2, 0, 1), jnp.tile(bc2, 4),
-                None, None, pre_act)
+                None, None, pre_act,
+                None if pre_bias is None else pre_bias.astype(dt))
             g3 = jnp.transpose(g3h, (2, 0, 1, 3))
         else:
+            if pre_bias is not None:  # deferred producer bias (see caller)
+                z = z + pre_bias.reshape(1, 1, 1, -1).astype(z.dtype)
             if pre_act:  # deferred producer activation (see caller)
                 z = leaky_relu(z)
             g1 = gate(leaky_relu(pconv(

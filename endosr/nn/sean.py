@@ -398,16 +398,18 @@ def pallas_o_branch(weights, depth_map, dtype):
     return [(chunks[2 * i], chunks[2 * i + 1]) for i in range(n)]
 
 
-def shifted_mask_stack(depth_mask, dtype):
+def shifted_mask_stack(depth_mask, dtype, stack_conv=False):
     """9 shifted copies of the K-channel mask stack → [B,H,W,9K].
 
     Channel order is τ-major then k, matching the weight layout produced in
-    ``_style_modulation``/``hoisted_style_branch``.
+    ``_style_modulation``/``hoisted_style_branch``. ``stack_conv`` selects
+    the one-conv build (see ``DepthNet.mask_stack_conv``); the
+    ENDOSR_STACK_CONV env var overrides it (dev A/Bs only).
     """
     h, w = depth_mask.shape[1], depth_mask.shape[2]
     m = depth_mask.astype(dtype)
     k = m.shape[-1]
-    if os.environ.get("ENDOSR_STACK_CONV"):
+    if os.environ.get("ENDOSR_STACK_CONV") or stack_conv:
         # one 0/1 conv instead of 9 pad/slice fusions + a lane-unaligned
         # concat (the K=10 channel offsets defeat lane tiling — the
         # pad/slice+concat build measured 0.66 ms at the flagship shape)

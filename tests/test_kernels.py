@@ -209,6 +209,14 @@ def test_head_dot_kernel():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-4)
 
+    # pre_bias (producer epilogue fused in — the flagship serving path):
+    # g4 is the RAW conv output; bias + leaky_relu run in-kernel before
+    # the gates
+    pb = jnp.asarray(RNG.standard_normal((C4,)).astype(np.float32) * 0.1)
+    want_pb = np.asarray(head_dot_reference(g4, w64, b64, None, pb))
+    got_pb = np.asarray(_forward(g4, w64, b64, pb, interpret=True))
+    np.testing.assert_allclose(got_pb, want_pb, atol=2e-6)
+
     # rectangular grid (wout ≠ Hp−1): non-square ×8 frames route here; the
     # dead column sits at wout, with garbage beyond it
     WOUT = 24
@@ -342,6 +350,27 @@ def test_packed_chain_kernel():
         lambda *a: jnp.sum(packed_g123_reference(*a, pre_act=True) ** 2),
         argnums=tuple(range(9)))(x, k1, b1, k2, b2, k3, b3, k4, b4)
     for a, b in zip(g0, g1_):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-2)
+
+    # pre_bias (deferred producer bias — the tail_defer_act serving path):
+    # x is the RAW producer conv output; bias + leaky_relu run in-kernel
+    pb = jnp.asarray(rng.standard_normal((Cin4,)).astype(np.float32) * 0.1)
+    want_pb = np.asarray(packed_g123_reference(
+        x, k1, b1, k2, b2, k3, b3, pre_act=True, pre_bias=pb))
+    got_pb = np.asarray(_forward(
+        x, k1, b1, k2, b2, k3, b3, pre_act=True, pre_bias=pb,
+        interpret=True))
+    np.testing.assert_allclose(got_pb, want_pb, atol=2e-4)
+    gp0 = jax.grad(
+        lambda a, c: jnp.sum(packed_g123(
+            a, k1, b1, k2, b2, k3, b3, pre_act=True, pre_bias=c) ** 2),
+        argnums=(0, 1))(x, pb)
+    gp1 = jax.grad(
+        lambda a, c: jnp.sum(packed_g123_reference(
+            a, k1, b1, k2, b2, k3, b3, pre_act=True, pre_bias=c) ** 2),
+        argnums=(0, 1))(x, pb)
+    for a, b in zip(gp0, gp1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-2)
 

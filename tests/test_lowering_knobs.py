@@ -61,6 +61,27 @@ def test_tail_defer_act_equivalence():
     assert np.abs(out_defer - out_eager).max() < 1e-5
 
 
+@pytest.mark.parametrize("shape", [(2, 16, 16), (1, 20, 12)])
+def test_mask_stack_conv_equivalence(shape):
+    """The one-conv build of the 9-shift mask stack equals the
+    pad/slice+concat build (0/1 kernel taps — exact selection), both at
+    the function level and through the full forward."""
+    from endosr.nn.sean import shifted_mask_stack
+
+    b, h, w = shape
+    inputs = _inputs(b, h, w, 4)
+    ref = np.asarray(shifted_mask_stack(inputs[2], jnp.float32))
+    conv = np.asarray(shifted_mask_stack(inputs[2], jnp.float32,
+                                         stack_conv=True))
+    assert np.abs(ref - conv).max() < 1e-6
+
+    kw = dict(which_resblk_depth=tuple(range(6)), nb=8, scale=8,
+              depth_latent_ch=32, depth_range_num=4, dtype=jnp.float32)
+    out_ps = _forward(DepthNet(mask_stack_conv=False, **kw), inputs)
+    out_cv = _forward(DepthNet(mask_stack_conv=True, **kw), inputs)
+    assert np.abs(out_ps - out_cv).max() < 1e-5
+
+
 def test_env_var_is_override_only(monkeypatch):
     monkeypatch.delenv("ENDOSR_OBRANCH_BODY", raising=False)
     assert _resolve_obranch_body(None) == "conv"
