@@ -545,9 +545,11 @@ class DepthNet(nn.Module):
     # Build the 9-shift mask stack ([B,H,W,9K] from the K-bin depth mask)
     # with one 0/1 conv instead of 9 pad/slice fusions + a lane-unaligned
     # concat (K=10 channel offsets defeat lane tiling; the pad/slice+concat
-    # build measured 303+363 µs in the round-5 flagship profile). The
+    # build measured 303+363 µs in the round-5 flagship profile). Round-5
+    # interleaved bench.py A/B (tools/ab_bench.py, same tree): conv
+    # 335.9/335.7 vs pad-slice 333.1/332.7 fps/chip — default on. The
     # ENDOSR_STACK_CONV env var overrides (dev A/Bs only).
-    mask_stack_conv: bool = False
+    mask_stack_conv: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
