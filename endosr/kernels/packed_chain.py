@@ -41,9 +41,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["packed_g123", "packed_g123_reference", "packed_g123_supported"]
+__all__ = ["packed_g123", "packed_g123_reference", "packed_g123_supported",
+           "unfold_g4_phases"]
 
 TH = 8  # g3 output rows per program
+
+
+def unfold_g4_phases(g4_hwnc):
+    """Interleave a phase-packed [Hg, Wg, B, 4C] HWNC tensor to the fine
+    [2(Hg−1), 2(Wg−1), B, C] grid: z[2Y+a, 2X+b, :, o] = g4[Y, X, :,
+    (2a+b)·C + o] (the packed-up1 dead row/col Hg−1/Wg−1 is dropped).
+    The jnp twin of the kernel's in-VMEM phase read (``phases=True``)."""
+    hg, wg, b, c4g = g4_hwnc.shape
+    c = c4g // 4
+    gv = g4_hwnc[:hg - 1, :wg - 1].reshape(hg - 1, wg - 1, b, 2, 2, c)
+    return jnp.transpose(gv, (0, 3, 1, 4, 2, 5)).reshape(
+        2 * (hg - 1), 2 * (wg - 1), b, c)
 
 
 def _gate_vectors(n, m, c4, dtype):
@@ -130,7 +143,8 @@ def packed_g123_reference(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None,
 
 def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
             cm1_ref, cm0_ref, r10_ref, r1n_ref, *rest, nx, mx, b, cin4,
-            c4, nblk, pre_act=False, has_k4=False, has_pb=False):
+            c4, nblk, pre_act=False, has_k4=False, has_pb=False,
+            phases=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -147,6 +161,12 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
     tt = pl.program_id(0)
     mp = mx + 1
     strip = TH + 3 + e
+    # phases mode: x_hbm is the phase-packed g4 [Hg, Wg, B, 4·cin4]; the
+    # strip DMA moves g4 rows (each carrying TWO fine rows in its phase
+    # lanes) and xrow() interleaves in-VMEM — the XLA transpose copy this
+    # replaces measured 410 µs on the 134 MB flagship tensor (copy.112,
+    # round-5 profile)
+    gstrip = strip // 2 + 1
 
     def src(st):
         return jnp.clip(st * TH - 2, 0, nx - strip)
@@ -154,9 +174,14 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
     def start(st, slot):
         @pl.when(st < nblk)
         def _():
-            pltpu.make_async_copy(
-                x_hbm.at[pl.ds(src(st), strip)], xs.at[slot],
-                sems.at[slot]).start()
+            if phases:
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(src(st) // 2, gstrip)], xs.at[slot],
+                    sems.at[slot]).start()
+            else:
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(src(st), strip)], xs.at[slot],
+                    sems.at[slot]).start()
 
     slot = tt % 2
 
@@ -166,7 +191,8 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
 
     start(tt + 1, (tt + 1) % 2)
     pltpu.make_async_copy(
-        x_hbm.at[pl.ds(src(tt), strip)], xs.at[slot], sems.at[slot]).wait()
+        x_hbm.at[pl.ds(0, gstrip if phases else strip)], xs.at[slot],
+        sems.at[slot]).wait()
 
     y0 = tt * TH
     base = src(tt)
@@ -188,8 +214,23 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
 
     def xrow(t):
         """x row ``t`` (global), zeros outside [0, nx)."""
-        i = jnp.clip(t - base, 0, strip - 1)
-        row = xs[slot, pl.ds(i, 1)][0]
+        if phases:
+            # fine row t lives in g4 row t//2, phase pair a = t mod 2:
+            # z[t, 2X+bb, o] = g4[t//2, X, (2a+bb)·cin4 + o]. Assemble by
+            # lane-slicing the two bb chunks for this row parity and
+            # interleaving along the (untiled) column dim — stack then
+            # merge of untiled leading dims is layout-free in Mosaic.
+            ig = jnp.clip(t // 2 - base // 2, 0, gstrip - 1)
+            grow = xs[slot, pl.ds(ig, 1)][0][:mx // 2]    # [Wg-1, B, 4C]
+            a0 = (t % 2) == 0
+            h0 = jnp.where(a0, grow[:, :, :cin4],
+                           grow[:, :, 2 * cin4:3 * cin4])
+            h1 = jnp.where(a0, grow[:, :, cin4:2 * cin4],
+                           grow[:, :, 3 * cin4:])
+            row = jnp.stack([h0, h1], axis=1).reshape(mx, b, cin4)
+        else:
+            i = jnp.clip(t - base, 0, strip - 1)
+            row = xs[slot, pl.ds(i, 1)][0]
         if pb_ref is not None:  # producer conv's deferred bias
             row = row + pb_ref[...].reshape(1, 1, cin4)
         if pre_act:  # producer conv's deferred leaky_relu (lrelu(0) = 0)
@@ -299,9 +340,9 @@ def _kernel(x_hbm, k1_ref, b1_ref, k2_ref, b2_ref, k3_ref, b3_ref,
         out_ref[i] = jnp.maximum(g, g * jnp.asarray(0.2, dt))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 11))
 def packed_g123(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
-                pre_act=False, pre_bias=None):
+                pre_act=False, pre_bias=None, phases=False):
     """Fused 3(+1)-stage packed chain.
 
     x_hwnc: [Nx, Mx, B, Cin4] (HWNC logical — the producer's conv-natural
@@ -314,20 +355,28 @@ def packed_g123(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
     output as its own 406 µs pass at the flagship shape. ``k4``/``b4``
     [2,2,C4,C4out]: absorb the UNGATED stage-4 conv + leaky_relu (its
     s=0 gate zeroes exactly the slots the downstream interleave slice
-    drops). Returns g3 (or g4) [Nx+1, Mx+1, B, C4|C4out] (HWNC).
+    drops). ``phases``: x_hwnc is the phase-packed PRODUCER tensor
+    [Hg, Wg, B, 4·Cin] and the fine-grid interleave
+    (:func:`unfold_g4_phases`) happens in-VMEM during row assembly —
+    no materialized transpose copy. Returns g3 (or g4)
+    [Nx+1, Mx+1, B, C4|C4out] (HWNC).
     """
     return _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_act,
-                    pre_bias)
+                    pre_bias, phases)
 
 
 def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
-             pre_act=False, pre_bias=None, interpret=False):
-    nx, mx, b, cin4 = x_hwnc.shape
+             pre_act=False, pre_bias=None, phases=False, interpret=False):
+    if phases:
+        hg, wg, b, c4g = x_hwnc.shape
+        nx, mx, cin4 = 2 * (hg - 1), 2 * (wg - 1), c4g // 4
+    else:
+        nx, mx, b, cin4 = x_hwnc.shape
     c4 = k1.shape[3]
     c4o = None if k4 is None else k4.shape[3]
     if not interpret and (jax.default_backend() != "tpu"
                           or not packed_g123_supported(
-                              x_hwnc.shape, c4,
+                              (nx, mx, b, cin4), c4,
                               jnp.dtype(x_hwnc.dtype).itemsize, c4o)):
         if not interpret and jax.default_backend() == "tpu":
             from endosr.kernels.warn import warn_kernel_drop
@@ -338,6 +387,8 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
                 f"dtype={jnp.dtype(x_hwnc.dtype).name} fails the support "
                 "gate (batch>8, channel alignment or VMEM budget): packed "
                 "chain runs as unfused XLA stages")
+        if phases:
+            x_hwnc = unfold_g4_phases(x_hwnc)
         return packed_g123_reference(x_hwnc, k1, b1, k2, b2, k3, b3,
                                      k4, b4, pre_act, pre_bias)
     from jax.experimental import pallas as pl
@@ -370,7 +421,8 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
             k3.astype(dt), b3.reshape(1, c4).astype(dt), cm1, cm0,
             r10, r1n]
     scratch = [
-        pltpu.VMEM((2, TH + 3 + e, mx, b, cin4), dt),
+        pltpu.VMEM((2, (TH + 3 + e) // 2 + 1, x_hwnc.shape[1], b, 4 * cin4)
+                   if phases else (2, TH + 3 + e, mx, b, cin4), dt),
         pltpu.VMEM((TH + 2 + e, mp, b, c4), dt),
         pltpu.VMEM((TH + 1 + e, mp, b, c4), dt),
     ]
@@ -387,7 +439,7 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
         functools.partial(_kernel, nx=nx, mx=mx, b=b, cin4=cin4, c4=c4,
                           nblk=nblk, pre_act=pre_act,
                           has_k4=k4 is not None,
-                          has_pb=pre_bias is not None),
+                          has_pb=pre_bias is not None, phases=phases),
         grid=(nblk,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TH, mp, b, co), lambda tt: (tt, 0, 0, 0),
@@ -403,30 +455,36 @@ def _forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None,
 
 
 def _fwd(x_hwnc, k1, b1, k2, b2, k3, b3, k4=None, b4=None, pre_act=False,
-         pre_bias=None):
+         pre_bias=None, phases=False):
     return (_forward(x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_act,
-                     pre_bias),
+                     pre_bias, phases),
             (x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_bias))
 
 
-def _bwd(pre_act, res, g):
+def _bwd(pre_act, phases, res, g):
     x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4, pre_bias = res
+
+    def ref(x, *a, **kw):
+        if phases:
+            x = unfold_g4_phases(x)
+        return packed_g123_reference(x, *a, **kw)
+
     if k4 is None and pre_bias is None:
         _, vjp = jax.vjp(
-            lambda x, a1, c1, a2, c2, a3, c3: packed_g123_reference(
+            lambda x, a1, c1, a2, c2, a3, c3: ref(
                 x, a1, c1, a2, c2, a3, c3, pre_act=pre_act),
             x_hwnc, k1, b1, k2, b2, k3, b3)
         return (*vjp(g), None, None, None)
     if k4 is None:
         _, vjp = jax.vjp(
-            lambda x, a1, c1, a2, c2, a3, c3, pb: packed_g123_reference(
+            lambda x, a1, c1, a2, c2, a3, c3, pb: ref(
                 x, a1, c1, a2, c2, a3, c3, pre_act=pre_act, pre_bias=pb),
             x_hwnc, k1, b1, k2, b2, k3, b3, pre_bias)
         grads = vjp(g)
         return (*grads[:7], None, None, grads[7])
     assert pre_bias is None, "pre_bias with absorbed stage 4 is unused"
     _, vjp = jax.vjp(
-        lambda x, a1, c1, a2, c2, a3, c3, a4, c4_: packed_g123_reference(
+        lambda x, a1, c1, a2, c2, a3, c3, a4, c4_: ref(
             x, a1, c1, a2, c2, a3, c3, a4, c4_, pre_act),
         x_hwnc, k1, b1, k2, b2, k3, b3, k4, b4)
     return (*vjp(g), None)

@@ -1005,12 +1005,20 @@ class DepthNet(nn.Module):
                     g4 = leaky_relu(_pk_conv(
                         g3, w20n, b20n, 1, 0, [(0, 1), (0, 1)], dtp))
                 # interleave the packed (unshifted) grid to the real fine
-                # grid: z[2Y+a, 2X+b, o] = g4[Y, X, (a·2+b)·128 + o]
+                # grid: z[2Y+a, 2X+b, o] = g4[Y, X, (a·2+b)·128 + o].
+                # When the tail runs the Pallas chain, z_g4 hands it the
+                # PACKED tensor and the interleave happens in-VMEM during
+                # row assembly (packed_g123 phases=True) — the XLA
+                # transpose copy below measured 410 µs on the 134 MB
+                # flagship tensor (copy.112, round-5 profile); XLA
+                # dead-codes this z when the phases path consumes z_g4.
+                z_g4 = g4
                 gv = g4[:, :n1h, :n1w, :].reshape(
                     g4.shape[0], n1h, n1w, 2, 2, 128)
                 z = gv.transpose(0, 1, 3, 2, 4, 5).reshape(
                     g4.shape[0], 2 * n1h, 2 * n1w, 128)
             else:
+                z_g4 = None
                 h = leaky_relu(h_pre)
                 w13, b13 = _fold_wb(*wn_effective_kernel(p13), 2)
                 z = leaky_relu(_conv_dt(_m(h), w13, b13, cc_dt, centered=cc))
@@ -1037,7 +1045,7 @@ class DepthNet(nn.Module):
                 # folded 9×9 head re-merges into ONE dense conv (see
                 # layers.packed_stage_kernel).
                 return self._packed_tail(z, p23, blocks[nb - 1], final_scale,
-                                         pre_act=tail_pre_act)
+                                         pre_act=tail_pre_act, z_g4=z_g4)
             w23, b23 = _fold_wb(*wn_effective_kernel(p23), r)
             z = leaky_relu(_conv_dt(_m(z), w23, b23, cc_dt, centered=cc))
             # classic block 16 (blocks[nb-1]) with both convs folded by r
@@ -1130,7 +1138,8 @@ class DepthNet(nn.Module):
             out = Conv(self.out_nc, 9, 1, 4, name="conv_output", **kw)(_m(feat_up3))
         return jnp.clip(out.astype(jnp.float32), self.clamp_min, self.clamp_max)
 
-    def _packed_tail(self, z, p23, block16, final_scale, pre_act=False):
+    def _packed_tail(self, z, p23, block16, final_scale, pre_act=False,
+                     z_g4=None):
         """×8 fold1 tail on the phase-packed PS(2)-pending grid.
 
         ``z``: the mid-tail-shuffled [B,N,N,4·32] tensor (torch PS channel
@@ -1186,14 +1195,21 @@ class DepthNet(nn.Module):
             # are bitcasts (HWNC bytes = the conv activation layout)
             from endosr.kernels.packed_chain import packed_g123
 
+            # z_g4: consume the PACKED producer tensor and interleave
+            # in-VMEM (phases=True) — the materialized z transpose copy
+            # measured 410 µs at the flagship shape
+            xin = (jnp.transpose(z_g4.astype(dt), (1, 2, 0, 3))
+                   if z_g4 is not None
+                   else jnp.transpose(z.astype(dt), (1, 2, 0, 3)))
             g3h = packed_g123(
-                jnp.transpose(z.astype(dt), (1, 2, 0, 3)),
+                xin,
                 packed_stage_kernel(w23, 0, 1, in_interleaved=True),
                 jnp.tile(b23, 4),
                 packed_stage_kernel(wc0, 1, 0), jnp.tile(bc0, 4),
                 packed_stage_kernel(wc2, 0, 1), jnp.tile(bc2, 4),
                 None, None, pre_act,
-                None if pre_bias is None else pre_bias.astype(dt))
+                None if pre_bias is None else pre_bias.astype(dt),
+                z_g4 is not None)
             g3 = jnp.transpose(g3h, (2, 0, 1, 3))
         else:
             if pre_bias is not None:  # deferred producer bias (see caller)

@@ -353,6 +353,29 @@ def test_packed_chain_kernel():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-2)
 
+    # phases mode: x handed as the phase-packed producer tensor
+    # [Hg, Wg, B, 4·Cin] with GARBAGE in the dead row/col Hg−1/Wg−1 (the
+    # interleave slice drops them); in-VMEM unfold == unfold_g4_phases
+    from endosr.kernels.packed_chain import unfold_g4_phases
+
+    Hg, Wg = Nx // 2 + 1, Mx // 2 + 1
+    g4p = rng.standard_normal((Hg, Wg, B, 4 * Cin4)).astype(np.float32) * 0.1
+    g4p[Hg - 1] = 9.0
+    g4p[:, Wg - 1] = -9.0
+    g4p = jnp.asarray(g4p)
+    xz = unfold_g4_phases(g4p)
+    assert xz.shape == (Nx, Mx, B, Cin4)
+    want_ph = np.asarray(packed_g123_reference(xz, k1, b1, k2, b2, k3, b3))
+    got_ph = np.asarray(_forward(g4p, k1, b1, k2, b2, k3, b3, phases=True,
+                                 interpret=True))
+    np.testing.assert_allclose(got_ph, want_ph, atol=2e-4)
+    gph0 = jax.grad(lambda a: jnp.sum(packed_g123(
+        a, k1, b1, k2, b2, k3, b3, None, None, False, None, True) ** 2))(g4p)
+    gph1 = jax.grad(lambda a: jnp.sum(packed_g123_reference(
+        unfold_g4_phases(a), k1, b1, k2, b2, k3, b3) ** 2))(g4p)
+    np.testing.assert_allclose(np.asarray(gph0), np.asarray(gph1),
+                               rtol=1e-3, atol=5e-2)
+
     # pre_bias (deferred producer bias — the tail_defer_act serving path):
     # x is the RAW producer conv output; bias + leaky_relu run in-kernel
     pb = jnp.asarray(rng.standard_normal((Cin4,)).astype(np.float32) * 0.1)
