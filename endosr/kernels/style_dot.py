@@ -194,26 +194,37 @@ def style_blend_supported(shape, m, n_conv, itemsize=2) -> bool:
             and vmem <= 95 * 1024 * 1024)
 
 
-def style_blend_reference(shifted, v, convs, bias):
+def style_blend_reference(shifted, v, convs, bias, hwbc=False):
     """jnp twin: dot + concat(convs) + bias → [H,W,B,M].
 
-    shifted [B,H,W,J]; v [B,J,M]; convs: tuple of [H,W,B,2C] (HWNC) raw
-    conv outputs, Σ2C = M; bias [M] fp32.
+    shifted [B,H,W,J] (``hwbc``: [H,W,B,J]); v [B,J,M]; convs: tuple of
+    [H,W,B,2C] (HWNC) raw conv outputs, Σ2C = M; bias [M] fp32.
     """
+    if hwbc:
+        shifted = jnp.transpose(shifted, (2, 0, 1, 3))
     y = jnp.einsum("bhwj,bjm->bhwm", shifted, v)
     y = jnp.transpose(y, (1, 2, 0, 3)).astype(shifted.dtype)
     return (y + jnp.concatenate(convs, axis=-1)
             + bias.astype(shifted.dtype))
 
 
-def _blend_kernel(s_ref, v_ref, b_ref, *rest):
+def _blend_kernel(s_ref, v_ref, b_ref, *rest, hwbc=False):
     conv_refs, o_ref = rest[:-1], rest[-1]
-    b, th, w = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
+    if hwbc:
+        # s block [BTH, W, B, J] — the mask-conv producer's natural bytes;
+        # moving B from the sublane dim to the batch dim is an in-VMEM
+        # 8×8 sublane-block shuffle on the (small, J=90-lane) input rather
+        # than a 23.6 MB HBM relayout copy per style-group kernel
+        th, w, b = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
+        flat = jnp.transpose(s_ref[...], (2, 0, 1, 3)).reshape(
+            b, th * w, s_ref.shape[3])
+    else:
+        b, th, w = s_ref.shape[0], s_ref.shape[1], s_ref.shape[2]
+        flat = s_ref[...].reshape(b, th * w, s_ref.shape[3])
     m = o_ref.shape[3]
     c2 = conv_refs[0].shape[3]
     mc = _pick_mchunk(m)
     per = mc // c2
-    flat = s_ref[...].reshape(b, th * w, s_ref.shape[3])
     for k in range(m // mc):
         y = jax.lax.dot_general(
             flat, v_ref[:, :, k * mc:(k + 1) * mc],
@@ -229,29 +240,36 @@ def _blend_kernel(s_ref, v_ref, b_ref, *rest):
             .astype(o_ref.dtype))
 
 
-@jax.custom_vjp
-def style_blend_dot(shifted, v, convs, bias):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def style_blend_dot(shifted, v, convs, bias, hwbc=False):
     """[B,H,W,J] × [B,J,M] + concat [H,W,B,2C] convs + bias → [H,W,B,M].
 
     Uses the Pallas kernel on TPU for supported shapes, the jnp twin
     otherwise. ``convs`` is a tuple; gradients flow to every operand.
+    ``hwbc``: ``shifted`` is [H,W,B,J] logical (the mask-conv producer's
+    natural bytes — read with zero relayout).
     """
-    return _blend_forward(shifted, v, convs, bias)
+    return _blend_forward(shifted, v, convs, bias, hwbc)
 
 
-def _blend_forward(shifted, v, convs, bias, interpret=False):
-    b, h, w, j = shifted.shape
+def _blend_forward(shifted, v, convs, bias, hwbc=False, interpret=False):
+    if hwbc:
+        h, w, b, j = shifted.shape
+    else:
+        b, h, w, j = shifted.shape
     m = v.shape[2]
     if not interpret and (jax.default_backend() != "tpu"
                           or not style_blend_supported(
-                              shifted.shape, m, len(convs),
+                              (b, h, w, j), m, len(convs),
                               itemsize=jnp.dtype(shifted.dtype).itemsize)):
-        return style_blend_reference(shifted, v, convs, bias)
+        return style_blend_reference(shifted, v, convs, bias, hwbc)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     c2 = m // len(convs)
     in_specs = [
+        pl.BlockSpec((BTH, w, b, j), lambda hh: (hh, 0, 0, 0),
+                     memory_space=pltpu.VMEM) if hwbc else
         pl.BlockSpec((b, BTH, w, j), lambda hh: (0, hh, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((b, j, m), lambda hh: (0, 0, 0),
@@ -264,7 +282,7 @@ def _blend_forward(shifted, v, convs, bias, interpret=False):
         for _ in convs
     ]
     return pl.pallas_call(
-        _blend_kernel,
+        functools.partial(_blend_kernel, hwbc=hwbc),
         grid=(h // BTH,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((BTH, w, b, m), lambda hh: (hh, 0, 0, 0),
@@ -277,22 +295,25 @@ def _blend_forward(shifted, v, convs, bias, interpret=False):
     )(shifted, v, bias.reshape(1, m).astype(jnp.float32), *convs)
 
 
-def _blend_fwd(shifted, v, convs, bias):
+def _blend_fwd(shifted, v, convs, bias, hwbc=False):
     # zero-size carriers: static conv count (shape) + operand dtypes
     cmeta = jnp.zeros((len(convs), 0), convs[0].dtype)
     bmeta = jnp.zeros((0,), bias.dtype)
-    return (_blend_forward(shifted, v, convs, bias),
+    return (_blend_forward(shifted, v, convs, bias, hwbc),
             (shifted, v, cmeta, bmeta))
 
 
-def _blend_bwd(res, g):
+def _blend_bwd(hwbc, res, g):
     shifted, v, cmeta, bmeta = res
     n_conv, cdt, bdt = cmeta.shape[0], cmeta.dtype, bmeta.dtype
     m = g.shape[3]
     c2 = m // n_conv
+    sh_bhwc = (jnp.transpose(shifted, (2, 0, 1, 3)) if hwbc else shifted)
     gt = jnp.transpose(g, (2, 0, 1, 3))  # [B,H,W,M]
     gs = jnp.einsum("bhwm,bjm->bhwj", gt, v).astype(shifted.dtype)
-    gv = jnp.einsum("bhwj,bhwm->bjm", shifted, gt).astype(v.dtype)
+    if hwbc:
+        gs = jnp.transpose(gs, (1, 2, 0, 3))
+    gv = jnp.einsum("bhwj,bhwm->bjm", sh_bhwc, gt).astype(v.dtype)
     gconvs = tuple(
         g[..., i * c2:(i + 1) * c2].astype(cdt) for i in range(n_conv))
     gbias = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(bdt)

@@ -757,8 +757,15 @@ class DepthNet(nn.Module):
                                  actv_chunks[2 * idx + 1],
                                  o_weights[2 * idx + 1])
             if want_style:
+                # HWBC handoff to the fused style+blend kernel measured
+                # SLOWER (bench.py 329.6 vs 340.2 fps/chip): the J=90
+                # lane-unaligned in-kernel sublane shuffle costs more than
+                # the ~60 µs XLA layout copies it removes. Capability kept
+                # (style_dot hwbc=True, tested) — off.
+                sh_hwbc = False
                 shifted = shifted_mask_stack(dmask, mod_dt,
-                                             stack_conv=self.mask_stack_conv)
+                                             stack_conv=self.mask_stack_conv,
+                                             hwbc=sh_hwbc)
                 v_chunks = precompute_style_v(s_weights, depth_vec, mod_dt)
                 for idx, i in enumerate(trunk_depth):
                     lazy_s[i] = (v_chunks[2 * idx], s_weights[2 * idx],
@@ -807,8 +814,10 @@ class DepthNet(nn.Module):
 
                 m_total = sum(lazy_s[i][0].shape[2] + lazy_s[i][2].shape[2]
                               for i in ids)
+                sh_bhwc_shape = ((sh.shape[2], sh.shape[0], sh.shape[1],
+                                  sh.shape[3]) if sh_hwbc else sh.shape)
                 fuse_blend = style_blend_supported(
-                    sh.shape, m_total, 2 * len(ids),
+                    sh_bhwc_shape, m_total, 2 * len(ids),
                     itemsize=jnp.dtype(sh.dtype).itemsize)
                 if not fuse_blend and jax.default_backend() == "tpu":
                     _warn_kernel_drop(
@@ -830,10 +839,13 @@ class DepthNet(nn.Module):
                     convs.append(o_branch_raw_hwnc(a1, w1o, mod_dt, al[0]))
                     convs.append(o_branch_raw_hwnc(a2, w2o, mod_dt, al[1]))
                 outs = style_blend_chunk(sh, v_list, w_list, a_list,
-                                         ob_list, convs, mod_dt)
+                                         ob_list, convs, mod_dt,
+                                         shifted_hwbc=sh_hwbc)
                 for idx, i in enumerate(ids):
                     mod_map[i] = (outs[2 * idx], outs[2 * idx + 1])
                 return
+            if sh_hwbc:  # fallback consumers want [B,H,W,9K]
+                sh = jnp.transpose(sh, (2, 0, 1, 3))
             v_list, w_list, a_list, ob_list = [], [], [], []
             for i in ids:
                 v1, w1, v2, w2 = lazy_s[i]

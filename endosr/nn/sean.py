@@ -257,7 +257,7 @@ def o_branch_raw_hwnc(actv_i, weight, dtype, alphas):
 
 
 def style_blend_chunk(shifted, v_list, weights, alphas, o_biases,
-                      convs_raw, dtype):
+                      convs_raw, dtype, shifted_hwbc=False):
     """Fused group modulation: style dot + (1−α)-scaled o-conv adds +
     blended biases in ONE Pallas pass (``style_blend_dot``).
 
@@ -280,7 +280,8 @@ def style_blend_chunk(shifted, v_list, weights, alphas, o_biases,
         biases.append(avs[i] * b_s + (1.0 - avs[i]) * o_biases[i].astype(dtype))
     bias = jnp.concatenate(biases)
     y = jnp.transpose(
-        style_blend_dot(shifted, v, tuple(convs_raw), bias), (2, 0, 1, 3))
+        style_blend_dot(shifted, v, tuple(convs_raw), bias,
+                        shifted_hwbc), (2, 0, 1, 3))
     halves = _split_channels(y, 2 * len(weights), c)
     return [(halves[2 * i], halves[2 * i + 1]) for i in range(len(weights))]
 
@@ -398,13 +399,17 @@ def pallas_o_branch(weights, depth_map, dtype):
     return [(chunks[2 * i], chunks[2 * i + 1]) for i in range(n)]
 
 
-def shifted_mask_stack(depth_mask, dtype, stack_conv=False):
+def shifted_mask_stack(depth_mask, dtype, stack_conv=False, hwbc=False):
     """9 shifted copies of the K-channel mask stack → [B,H,W,9K].
 
     Channel order is τ-major then k, matching the weight layout produced in
     ``_style_modulation``/``hoisted_style_branch``. ``stack_conv`` selects
     the one-conv build (see ``DepthNet.mask_stack_conv``); the
-    ENDOSR_STACK_CONV env var overrides it (dev A/Bs only).
+    ENDOSR_STACK_CONV env var overrides it (dev A/Bs only). ``hwbc``
+    (conv build only) emits the HWNC logical order [H,W,B,9K] — the conv's
+    natural bytes, which ``style_blend_dot(..., hwbc=True)`` reads with
+    zero relayout (the default-layout form cost one 23.6 MB copy per
+    style-group kernel at the flagship shape).
     """
     h, w = depth_mask.shape[1], depth_mask.shape[2]
     m = depth_mask.astype(dtype)
@@ -420,7 +425,8 @@ def shifted_mask_stack(depth_mask, dtype, stack_conv=False):
                     eye[dy, dx, kk, (dy * 3 + dx) * k + kk] = 1.0
         return jax.lax.conv_general_dilated(
             m, jnp.asarray(eye, dtype), (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "HWNC" if hwbc else "NHWC"))
+    assert not hwbc, "hwbc requires the conv build"
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1), (0, 0)))
     return jnp.concatenate(
         [mp[:, dy:dy + h, dx:dx + w, :] for dy in range(3) for dx in range(3)],

@@ -301,6 +301,22 @@ def test_style_blend_dot_kernel():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-3)
 
+    # hwbc: shifted handed in the mask-conv producer's [H,W,B,J] order
+    sh_h = jnp.transpose(sh, (1, 2, 0, 3))
+    got_h = np.asarray(_blend_forward(sh_h, v, convs, bias, hwbc=True,
+                                      interpret=True))
+    np.testing.assert_allclose(got_h, want, atol=2e-5, rtol=1e-5)
+    gh = jax.grad(lambda s, vv, cs, b: jnp.sum(
+        style_blend_dot(s, vv, cs, b, True) ** 2),
+        argnums=(0, 1, 2, 3))(sh_h, v, convs, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(sh, v, convs, bias)
+    np.testing.assert_allclose(
+        np.asarray(gh[0]), np.asarray(jnp.transpose(gr[0], (1, 2, 0, 3))),
+        rtol=1e-4, atol=1e-3)
+    for a, b in zip(jax.tree.leaves(gh[1:]), jax.tree.leaves(gr[1:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
 
 def test_packed_chain_kernel():
     """Fused packed-stage chain (endosr/kernels/packed_chain.py):
