@@ -421,10 +421,12 @@ class DepthNet(nn.Module):
     # modulations are one batched [B,HW,9K]×[B,9K,G·4C] dot (scheduled at
     # the group's first block via an optimization_barrier tie), so the
     # ~24 MB ``shifted`` mask stack is read once per group instead of once
-    # per SEAN instance. 1 = per-block dots. 5 groups the 13 trunk blocks
-    # as (5,5,3) — three style_blend kernel launches instead of four
-    # (325.3 -> 327.9 fps/chip at the x8 flagship, v5e round 3).
-    style_chunk: int = 5
+    # per SEAN instance. 1 = per-block dots. 7 groups the 13 trunk blocks
+    # as (7,6) — two style_blend kernel launches; round-5 quick_fps sweep
+    # at the new op balance: 4→335.6, 5→340.3, 6→340.1, **7→344.0**,
+    # 9→339.3 (M=2304 exceeds the fused-blend VMEM gate → per-instance
+    # fallback), 13→336.0; bench.py-confirmed (bench_runs.jsonl).
+    style_chunk: int = 7
     # Pallas style-map dot (lazy mode): the group style matmul emits
     # [H,W,B,M]-logical output whose bytes ARE the conv activation layout,
     # so the relayout copy XLA's dot lowering pays (0.82 ms per group
